@@ -1,0 +1,249 @@
+"""Config system: dataclass schema + YAML loader (SURVEY.md §2 C1, §8 step 1).
+
+One YAML file per experiment, mirroring the reference's config-per-experiment
+layout (SURVEY.md §1 L5). The loader is *forgiving by default*: unknown keys
+are collected into `Config.extra` and warned about rather than rejected, so
+that reference-format YAMLs load without modification ("reference-compat
+mode", SURVEY.md §5 config bullet). Pass ``strict=True`` to reject unknown
+keys instead.
+
+Hyperparameter defaults marked ``VERIFY-vs-reference`` are paper-plausible
+values (arXiv:2007.10170) that could not be checked against the reference
+configs because the mount was empty (SURVEY.md §0, §8 hard-part 5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import warnings
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import yaml
+
+
+def _build(cls, data: Dict[str, Any], strict: bool, path: str):
+    """Construct dataclass ``cls`` from a dict, recursing into nested
+    dataclass fields; unknown keys go to an ``extra`` dict field if the class
+    has one, else warn/raise."""
+    if data is None:
+        data = {}
+    if not isinstance(data, dict):
+        raise TypeError(f"config section {path!r} must be a mapping, got {type(data).__name__}")
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs: Dict[str, Any] = {}
+    extra: Dict[str, Any] = {}
+    for key, value in data.items():
+        if key in fields and key != "extra":
+            f = fields[key]
+            sub = _dataclass_type(f.type, cls)
+            if sub is not None:
+                kwargs[key] = _build(sub, value, strict, f"{path}.{key}")
+            else:
+                kwargs[key] = _coerce(value, f)
+        else:
+            extra[key] = value
+    if extra:
+        if strict:
+            raise KeyError(f"unknown config keys at {path!r}: {sorted(extra)}")
+        warnings.warn(
+            f"dpfx.config: unknown keys at {path!r} kept in .extra: {sorted(extra)}",
+            stacklevel=2,
+        )
+    obj = cls(**kwargs)
+    if "extra" in fields:
+        object.__setattr__(obj, "extra", extra)
+    elif extra:
+        pass  # warned above; dropped
+    return obj
+
+
+_TYPE_REGISTRY: Dict[str, type] = {}
+
+
+def _dataclass_type(tp, owner) -> Optional[type]:
+    """Resolve a field annotation (possibly a string under future-annotations)
+    to a dataclass type, or None for plain fields."""
+    if isinstance(tp, str):
+        tp = _TYPE_REGISTRY.get(tp.strip("'\""))
+    if tp is not None and dataclasses.is_dataclass(tp):
+        return tp
+    return None
+
+
+def _coerce(value, f: dataclasses.Field):
+    # YAML gives ints where floats are annotated (lr: 1 etc.) — normalize.
+    ann = f.type if not isinstance(f.type, str) else f.type
+    if isinstance(value, int) and not isinstance(value, bool):
+        if ann in (float, "float", "Optional[float]"):
+            return float(value)
+    if isinstance(value, list):
+        return tuple(value) if "Tuple" in str(ann) or "tuple" in str(ann) else value
+    return value
+
+
+@dataclass
+class FlowConfig:
+    """Discrete affine-coupling flow hyperparameters (SURVEY.md §7).
+
+    Used for both the conditional point flow (decoder, C6) and the
+    unconditional latent prior flow (C7).
+    """
+
+    n_layers: int = 32          # VERIFY-vs-reference: K, "tens of layers" [paper]
+    hidden: int = 128           # VERIFY-vs-reference: conditioner MLP width
+    n_hidden: int = 2           # VERIFY-vs-reference: conditioner hidden depth
+    use_actnorm: bool = False   # VERIFY-vs-reference: actnorm presence unknown (SURVEY §9.3)
+    scale_cap: float = 8.0      # |log-scale| soft cap via tanh for numerical stability
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EncoderConfig:
+    """PointNet-style posterior encoder q(z|X) (SURVEY.md §2 C5)."""
+
+    point_widths: Tuple[int, ...] = (128, 128, 256, 512)  # VERIFY-vs-reference
+    head_widths: Tuple[int, ...] = (256,)                 # VERIFY-vs-reference
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ImageEncoderConfig:
+    """SVR conv image encoder (SURVEY.md §2 C8). Backbone choice LOW conf."""
+
+    widths: Tuple[int, ...] = (32, 64, 128, 256)  # VERIFY-vs-reference
+    blocks_per_stage: int = 2
+    image_size: int = 128                          # VERIFY-vs-reference
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ModelConfig:
+    dz: int = 128               # VERIFY-vs-reference: latent dim "order 64-128"
+    point_flow: FlowConfig = field(default_factory=lambda: FlowConfig())
+    latent_flow: FlowConfig = field(
+        default_factory=lambda: FlowConfig(n_layers=14, hidden=256, n_hidden=2)
+    )
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    image_encoder: ImageEncoderConfig = field(default_factory=ImageEncoderConfig)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class DataConfig:
+    dataset: str = "synthetic"   # synthetic | shapenet_h5 | shapenet_npy_dir
+    path: str = ""
+    category: str = "airplane"   # or "all"
+    n_points: int = 2048         # training cloud size [paper, HIGH]
+    n_points_eval: int = 2048
+    normalize: str = "per_shape"  # per_shape | global | none; VERIFY-vs-reference (§7 metric conventions)
+    num_workers: int = 0
+    # synthetic dataset controls (tests / smoke configs)
+    synthetic_size: int = 256
+    synthetic_modes: int = 4
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 32
+    steps: int = 10_000
+    lr: float = 1e-3             # VERIFY-vs-reference
+    lr_schedule: str = "cosine"  # cosine | constant | step
+    lr_decay_steps: int = 0      # 0 -> use `steps`
+    lr_min_ratio: float = 0.01
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0       # 0 disables
+    seed: int = 0
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 1000
+    eval_every: int = 1000
+    log_every: int = 100
+    loss: str = "elbo"           # elbo (AE/gen); recon-only variants for ablation
+    kl_weight: float = 1.0
+    recon_reduction: str = "sum_points"  # sum_points | mean_points; VERIFY-vs-reference (§7)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class EvalConfig:
+    metrics: Tuple[str, ...] = ("cd",)   # subset of cd, emd
+    batch_size: int = 32
+    emd_iters: int = 10
+    jsd_resolution: int = 28             # 28^3 voxel grid [pointflow-protocol]
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout (SURVEY.md §2.2). DP over the batch axis is the one
+    required strategy; XLA emits the gradient all-reduce over ICI from the
+    sharding annotations."""
+
+    data_axis: int = -1          # -1 -> all devices on the data axis
+    axis_name: str = "data"
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class Config:
+    experiment: str = "ae"       # ae | gen | svr
+    name: str = "dpfx"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+
+for _cls in (
+    FlowConfig,
+    EncoderConfig,
+    ImageEncoderConfig,
+    ModelConfig,
+    DataConfig,
+    TrainConfig,
+    EvalConfig,
+    ParallelConfig,
+    Config,
+):
+    _TYPE_REGISTRY[_cls.__name__] = _cls
+
+
+def config_from_dict(data: Dict[str, Any], strict: bool = False) -> Config:
+    return _build(Config, data, strict, "config")
+
+
+def load_config(path: str, strict: bool = False, overrides: Optional[List[str]] = None) -> Config:
+    """Load a YAML experiment config.
+
+    ``overrides`` is a list of ``dotted.key=value`` strings (CLI convenience),
+    applied after the file, values parsed as YAML scalars.
+    """
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    if overrides:
+        for ov in overrides:
+            key, _, raw = ov.partition("=")
+            if not _:
+                raise ValueError(f"override must be key=value, got {ov!r}")
+            node = data
+            parts = key.strip().split(".")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = yaml.safe_load(raw)
+    return config_from_dict(data, strict=strict)
+
+
+def config_to_dict(cfg) -> Dict[str, Any]:
+    out = {}
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            out[f.name] = config_to_dict(v)
+        elif isinstance(v, tuple):
+            out[f.name] = list(v)
+        else:
+            out[f.name] = v
+    return out
