@@ -1,0 +1,62 @@
+"""Host-side batching (SURVEY.md §2 C4).
+
+The reference's torch DataLoader (worker processes, pinned memory) maps to a
+simple pure-numpy batcher here: with one jitted train step per batch the
+host work is a gather + random subsample, negligible next to the device
+step; XLA's async dispatch overlaps the next batch's host prep with the
+current device step. (grain is available for out-of-core scaling later.)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def sample_cloud(x: np.ndarray, n_points: int, rng: np.random.Generator) -> np.ndarray:
+    """Random subsample (without replacement when possible) to n_points —
+    the reference's per-item 2048-point sampling (SURVEY.md §2 C2)."""
+    m = x.shape[0]
+    if m == n_points:
+        return x
+    replace = m < n_points
+    idx = rng.choice(m, size=n_points, replace=replace)
+    return x[idx]
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    n_points: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    epochs: Optional[int] = None,
+    with_labels: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields {"x": [B, n_points, 3]} batches, reshuffled every epoch."""
+    epoch = 0
+    while epochs is None or epoch < epochs:
+        rng = np.random.default_rng(seed * 1_000_003 + epoch)
+        order = rng.permutation(len(dataset)) if shuffle else np.arange(len(dataset))
+        stop = len(order) - (len(order) % batch_size if drop_last else 0)
+        if stop == 0 and not drop_last:
+            stop = len(order)
+        for s in range(0, stop, batch_size):
+            idx = order[s : s + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            clouds = np.stack([sample_cloud(dataset[int(i)], n_points, rng) for i in idx])
+            batch = {"x": clouds}
+            if with_labels and hasattr(dataset, "label"):
+                batch["label"] = np.array([dataset.label(int(i)) for i in idx], np.int32)
+            yield batch
+        epoch += 1
+
+
+def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None) -> np.ndarray:
+    """Materialize a full split as [S, n_points, 3] (eval protocol)."""
+    rng = np.random.default_rng(seed)
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    return np.stack([sample_cloud(dataset[i], n_points, rng) for i in range(count)])

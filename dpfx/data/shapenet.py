@@ -1,0 +1,232 @@
+"""ShapeNet point-cloud datasets (SURVEY.md §2 C2/C3, §1 L1).
+
+The reference loads preprocessed ShapeNetCore.v2 clouds; its exact HDF5
+layout is unverified (SURVEY.md §9.5 — the mount was empty), so this module
+supports the two layouts in the DPF/PointFlow lineage and auto-detects:
+
+  * ``shapenet_h5``      — one HDF5 file (or per-category file) with
+                            ``<split>`` datasets (or ``<split>/data``),
+                            each ``[S, N_stored, 3]`` float32, optionally
+                            ``<split>_labels`` category ids.
+  * ``shapenet_npy_dir`` — PointFlow-style directory tree
+                            ``root/<synset_id>/<split>/<model>.npy``,
+                            each ``[15000, 3]``.
+
+Normalization conventions are parity-critical (SURVEY.md §7 metric
+conventions) and controlled by ``DataConfig.normalize``:
+  * ``per_shape`` — center each cloud at its mean; divide by its max radius.
+  * ``global``    — center/scale with train-split statistics (mean over all
+                    points; scale = overall std), PointFlow's default style.
+  * ``none``.
+VERIFY-vs-reference which one the reference eval uses (SURVEY.md §9.5).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# ShapeNetCore.v2 synset ids for the categories in the paper tables plus the
+# common PointFlow-lineage set.
+SYNSET_IDS: Dict[str, str] = {
+    "airplane": "02691156",
+    "bag": "02773838",
+    "basket": "02801938",
+    "bathtub": "02808440",
+    "bed": "02818832",
+    "bench": "02828884",
+    "bottle": "02876657",
+    "bowl": "02880940",
+    "bus": "02924116",
+    "cabinet": "02933112",
+    "can": "02946921",
+    "camera": "02942699",
+    "cap": "02954340",
+    "car": "02958343",
+    "chair": "03001627",
+    "clock": "03046257",
+    "dishwasher": "03207941",
+    "monitor": "03211117",
+    "table": "04379243",
+    "telephone": "04401088",
+    "tin_can": "02946921",
+    "tower": "04460130",
+    "train": "04468005",
+    "keyboard": "03085013",
+    "earphone": "03261776",
+    "faucet": "03325088",
+    "file": "03337140",
+    "guitar": "03467517",
+    "helmet": "03513137",
+    "jar": "03593526",
+    "knife": "03624134",
+    "lamp": "03636649",
+    "laptop": "03642806",
+    "speaker": "03691459",
+    "mailbox": "03710193",
+    "microphone": "03759954",
+    "microwave": "03761084",
+    "motorcycle": "03790512",
+    "mug": "03797390",
+    "piano": "03928116",
+    "pillow": "03938244",
+    "pistol": "03948459",
+    "pot": "03991062",
+    "printer": "04004475",
+    "remote_control": "04074963",
+    "rifle": "04090263",
+    "rocket": "04099429",
+    "skateboard": "04225987",
+    "sofa": "04256520",
+    "stove": "04330267",
+    "vessel": "04530566",
+    "washer": "04554684",
+    "boat": "02858304",
+    "cellphone": "02992529",
+}
+
+
+class NormStats:
+    """Train-split normalization statistics for the ``global`` mode."""
+
+    def __init__(self, mean: np.ndarray, scale: float):
+        self.mean = mean.astype(np.float32)
+        self.scale = float(scale)
+
+
+def normalize_cloud(
+    x: np.ndarray, mode: str, stats: Optional[NormStats] = None
+) -> np.ndarray:
+    if mode == "none":
+        return x
+    if mode == "per_shape":
+        c = x - x.mean(axis=0, keepdims=True)
+        r = np.max(np.linalg.norm(c, axis=1))
+        return (c / max(r, 1e-9)).astype(np.float32)
+    if mode == "global":
+        if stats is None:
+            raise ValueError("global normalization requires NormStats")
+        return ((x - stats.mean) / stats.scale).astype(np.float32)
+    raise ValueError(f"unknown normalization mode {mode!r}")
+
+
+def compute_global_stats(clouds: np.ndarray) -> NormStats:
+    """clouds: [S, N, 3] train split."""
+    pts = clouds.reshape(-1, 3)
+    mean = pts.mean(axis=0)
+    scale = pts.std()
+    return NormStats(mean, scale)
+
+
+class ShapeNetH5:
+    """HDF5-backed dataset. Accepts either a single file containing all
+    categories (+ label datasets) or a per-category file; split datasets may
+    be named ``train``/``val``/``test`` directly or nested as
+    ``<split>/data`` groups. Clouds load lazily per item."""
+
+    def __init__(
+        self,
+        path: str,
+        split: str = "train",
+        category: str = "all",
+        normalize: str = "per_shape",
+        stats: Optional[NormStats] = None,
+    ):
+        import h5py  # deferred so the module imports without h5 data
+
+        self.path = path
+        self.split = split
+        self.normalize = normalize
+        self._h5 = h5py.File(path, "r")
+        node = self._h5
+        if split in node:
+            node = node[split]
+        elif f"{split}_data" in node:
+            node = node[f"{split}_data"]
+        else:
+            raise KeyError(f"no split {split!r} in {path} (keys: {list(node.keys())})")
+        self._data = node["data"] if hasattr(node, "keys") and "data" in node else node
+        self._labels = None
+        for lname in (f"{split}_labels", "labels", "label"):
+            if lname in self._h5:
+                self._labels = self._h5[lname]
+                break
+        self._indices = np.arange(self._data.shape[0])
+        if category != "all" and self._labels is not None:
+            cat_id = sorted(SYNSET_IDS).index(category) if category in SYNSET_IDS else None
+            if cat_id is not None:
+                self._indices = np.nonzero(np.asarray(self._labels[:]) == cat_id)[0]
+        self.stats = stats
+        if normalize == "global" and stats is None:
+            self.stats = compute_global_stats(np.asarray(self._data[: min(200, len(self._indices))]))
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        x = np.asarray(self._data[self._indices[idx]], dtype=np.float32)
+        return normalize_cloud(x, self.normalize, self.stats)
+
+    def label(self, idx: int) -> int:
+        if self._labels is None:
+            return 0
+        return int(self._labels[self._indices[idx]])
+
+
+class ShapeNetNpyDir:
+    """PointFlow-style ``root/<synset>/<split>/<model>.npy`` tree."""
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        category: str = "airplane",
+        normalize: str = "per_shape",
+        stats: Optional[NormStats] = None,
+    ):
+        self.normalize = normalize
+        cats = sorted(SYNSET_IDS) if category == "all" else [category]
+        self.files: List[str] = []
+        self.labels: List[int] = []
+        for ci, cat in enumerate(cats):
+            syn = SYNSET_IDS.get(cat, cat)
+            d = os.path.join(root, syn, split)
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".npy"):
+                    self.files.append(os.path.join(d, f))
+                    self.labels.append(ci)
+        if not self.files:
+            raise FileNotFoundError(f"no .npy clouds under {root} for {category}/{split}")
+        self.stats = stats
+        if normalize == "global" and stats is None:
+            sample = np.stack([np.load(f) for f in self.files[:64]])
+            self.stats = compute_global_stats(sample)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        x = np.load(self.files[idx]).astype(np.float32)
+        return normalize_cloud(x, self.normalize, self.stats)
+
+    def label(self, idx: int) -> int:
+        return self.labels[idx]
+
+
+def build_dataset(cfg, split: str):
+    """Dataset factory from DataConfig (SURVEY.md §2 C2)."""
+    if cfg.dataset == "synthetic":
+        sizes = {"train": cfg.synthetic_size, "val": max(cfg.synthetic_size // 4, 8),
+                 "test": max(cfg.synthetic_size // 4, 8)}
+        from dpfx.data.synthetic import SyntheticDataset
+
+        return SyntheticDataset(size=sizes[split], modes=cfg.synthetic_modes, split=split)
+    if cfg.dataset == "shapenet_h5":
+        return ShapeNetH5(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
+    if cfg.dataset == "shapenet_npy_dir":
+        return ShapeNetNpyDir(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -1,0 +1,23 @@
+from dpfx.train.loss import elbo_loss
+from dpfx.train.trainer import (
+    CheckpointManager,
+    Trainer,
+    TrainState,
+    init_state,
+    make_eval_step,
+    make_optimizer,
+    make_schedule,
+    make_train_step,
+)
+
+__all__ = [
+    "elbo_loss",
+    "CheckpointManager",
+    "Trainer",
+    "TrainState",
+    "init_state",
+    "make_eval_step",
+    "make_optimizer",
+    "make_schedule",
+    "make_train_step",
+]

@@ -1,0 +1,248 @@
+"""Training stack (SURVEY.md §2 C10/C12, §8 step 4).
+
+The reference's epoch loop + Adam + torch.save collapses into:
+  * a single jitted, mesh-sharded ``train_step`` — batch sharded on the
+    ``data`` axis, params/opt-state replicated; XLA inserts the gradient
+    all-reduce over ICI from the shardings (SURVEY.md §2.2),
+  * an optax chain (clip -> adamw) with cosine/step/constant schedules,
+  * orbax checkpointing with resume (SURVEY.md §5 checkpoint bullet).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dpfx.config import Config
+from dpfx.models import DPF
+from dpfx.parallel import create_mesh
+from dpfx.train.loss import elbo_loss
+
+Array = jax.Array
+
+
+@struct.dataclass
+class TrainState:
+    step: Array
+    params: Any
+    opt_state: Any
+
+
+def make_schedule(tcfg) -> optax.Schedule:
+    decay_steps = tcfg.lr_decay_steps or tcfg.steps
+    if tcfg.lr_schedule == "cosine":
+        return optax.cosine_decay_schedule(
+            tcfg.lr, decay_steps, alpha=tcfg.lr_min_ratio
+        )
+    if tcfg.lr_schedule == "constant":
+        return optax.constant_schedule(tcfg.lr)
+    if tcfg.lr_schedule == "step":
+        # halve every quarter of training — VERIFY-vs-reference schedule
+        bounds = {decay_steps // 4 * (i + 1): 0.5 for i in range(3)}
+        return optax.piecewise_constant_schedule(tcfg.lr, bounds)
+    raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+
+
+def make_optimizer(tcfg) -> optax.GradientTransformation:
+    parts = []
+    if tcfg.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(tcfg.grad_clip))
+    sched = make_schedule(tcfg)
+    if tcfg.weight_decay > 0:
+        parts.append(optax.adamw(sched, weight_decay=tcfg.weight_decay))
+    else:
+        parts.append(optax.adam(sched))
+    return optax.chain(*parts)
+
+
+def init_state(model: DPF, cfg: Config, rng: Array, tx=None) -> TrainState:
+    x = jnp.zeros((2, 16, 3), jnp.float32)
+    if cfg.experiment == "svr":
+        s = cfg.model.image_encoder.image_size
+        img = jnp.zeros((2, s, s, 3), jnp.float32)
+        params = model.init(rng, x, rng, img)
+    else:
+        params = model.init(rng, x, rng)
+    tx = tx or make_optimizer(cfg.train)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(
+    model: DPF, tx: optax.GradientTransformation, cfg: Config, mesh: Optional[Mesh] = None
+) -> Callable:
+    """Build the jitted train step. With a mesh, the batch is sharded on the
+    data axis and state replicated; the returned fn takes already-placed (or
+    host) arrays and XLA handles the collectives."""
+    tcfg = cfg.train
+
+    def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return elbo_loss(
+                model,
+                p,
+                batch["x"],
+                rng,
+                image=batch.get("image"),
+                kl_weight=tcfg.kl_weight,
+                recon_reduction=tcfg.recon_reduction,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=0)
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(cfg.parallel.axis_name))  # prefix spec: shard axis 0
+    return jax.jit(
+        step_fn,
+        donate_argnums=0,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
+    """Validation negative-ELBO (deterministic rng per batch)."""
+
+    def eval_fn(params, batch: Dict[str, Array], rng: Array):
+        _, metrics = elbo_loss(
+            model,
+            params,
+            batch["x"],
+            rng,
+            image=batch.get("image"),
+            kl_weight=cfg.train.kl_weight,
+            recon_reduction=cfg.train.recon_reduction,
+        )
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_fn)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(cfg.parallel.axis_name))
+    return jax.jit(eval_fn, in_shardings=(repl, bsh, repl), out_shardings=repl)
+
+
+class CheckpointManager:
+    """Orbax-backed save/restore with resume (SURVEY.md §2 C12)."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True),
+        )
+
+    def save(self, step: int, state: TrainState, force: bool = False) -> None:
+        self.manager.save(step, args=self._ocp.args.StandardSave(state), force=force)
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x,
+            state,
+        )
+        return self.manager.restore(step, args=self._ocp.args.StandardRestore(abstract))
+
+    def wait(self) -> None:
+        self.manager.wait_until_finished()
+
+
+class Trainer:
+    """Step-based training loop with periodic eval / checkpoint / logging
+    (SURVEY.md §3.1 call stack, re-shaped: one jitted sharded step)."""
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None, log_fn=print):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else create_mesh(cfg.parallel.axis_name)
+        self.model = DPF(cfg)
+        self.tx = make_optimizer(cfg.train)
+        self.log_fn = log_fn
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.state = init_state(self.model, cfg, self.rng, self.tx)
+        self.train_step = make_train_step(self.model, self.tx, cfg, self.mesh)
+        self.eval_step = make_eval_step(self.model, cfg, self.mesh)
+        self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
+        self.history: list = []
+
+    def maybe_resume(self) -> int:
+        step = self.ckpt.latest_step()
+        if step is not None:
+            self.state = self.ckpt.restore(self.state)
+            self.log_fn(f"[dpfx] resumed from step {step}")
+            return step
+        return 0
+
+    def fit(
+        self,
+        batches: Iterator[Dict[str, np.ndarray]],
+        val_batches_fn: Optional[Callable[[], Iterator]] = None,
+        steps: Optional[int] = None,
+    ) -> TrainState:
+        tcfg = self.cfg.train
+        steps = steps or tcfg.steps
+        start = int(self.state.step)
+        t0 = time.perf_counter()
+        window = []
+        for batch in batches:
+            step = int(self.state.step)
+            if step >= steps:
+                break
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            window.append(metrics)
+            step += 1
+            if step % tcfg.log_every == 0 or step == steps:
+                m = {k: float(np.mean([float(w[k]) for w in window])) for k in window[0]}
+                dt = time.perf_counter() - t0
+                pts = tcfg.log_every * batch["x"].shape[0] * batch["x"].shape[1]
+                self.log_fn(
+                    f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
+                    f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
+                    f"gnorm={m['grad_norm']:.2f} ({pts / dt:,.0f} pts/s)"
+                )
+                self.history.append({"step": step, **m})
+                window = []
+                t0 = time.perf_counter()
+            if val_batches_fn is not None and step % tcfg.eval_every == 0:
+                self.evaluate(val_batches_fn())
+            if step % tcfg.ckpt_every == 0 or step == steps:
+                self.ckpt.save(step, self.state)
+        self.ckpt.wait()
+        return self.state
+
+    def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        ms = []
+        for i, batch in enumerate(batches):
+            ms.append(self.eval_step(self.state.params, batch, jax.random.fold_in(self.rng, i)))
+        agg = {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]} if ms else {}
+        if agg:
+            self.log_fn(
+                f"[dpfx] val @ step {int(self.state.step)}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+            )
+        return agg

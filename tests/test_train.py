@@ -1,0 +1,120 @@
+"""Training-stack tests: sharded train step on the 8-device CPU mesh,
+loss decrease on a golden fixture, checkpoint save/resume (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dpfx.config import config_from_dict
+from dpfx.data import SyntheticDataset, iterate_batches, load_all
+from dpfx.models import DPF
+from dpfx.parallel import create_mesh
+from dpfx.train import Trainer, init_state, make_optimizer, make_train_step
+
+
+def tiny_config(**over):
+    d = {
+        "experiment": "ae",
+        "name": "test",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+        "data": {"dataset": "synthetic", "n_points": 64, "synthetic_size": 64},
+        "train": {
+            "batch_size": 16,
+            "steps": 30,
+            "lr": 1e-3,
+            "log_every": 10,
+            "ckpt_every": 30,
+            "eval_every": 1000,
+        },
+    }
+    for k, v in over.items():
+        d[k].update(v) if isinstance(v, dict) and k in d else d.update({k: v})
+    return config_from_dict(d)
+
+
+def test_train_step_sharded_on_mesh():
+    cfg = tiny_config()
+    mesh = create_mesh()
+    assert mesh.devices.size == 8, "conftest should provide 8 CPU devices"
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, cfg, rng, tx)
+    step = make_train_step(model, tx, cfg, mesh)
+    x = jax.random.normal(rng, (16, 64, 3))
+    state, metrics = step(state, {"x": x}, rng)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    # params must be replicated, ready for another step
+    state, metrics2 = step(state, {"x": x}, rng)
+    assert int(state.step) == 2
+
+
+def test_dp_matches_single_device():
+    """The mesh-sharded step must compute the same update as unsharded."""
+    cfg = tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    state1 = init_state(model, cfg, rng, tx)
+    state2 = jax.tree.map(jnp.copy, state1)
+    x = jax.random.normal(rng, (16, 64, 3))
+
+    step_mesh = make_train_step(model, tx, cfg, create_mesh())
+    step_single = make_train_step(model, tx, cfg, None)
+    s1, m1 = step_mesh(state1, {"x": x}, rng)
+    s2, m2 = step_single(state2, {"x": x}, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    leaves1 = jax.tree.leaves(s1.params)
+    leaves2 = jax.tree.leaves(s2.params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_learns_and_resumes(tmp_path):
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path)})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    batches = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0)
+    trainer.fit(batches)
+    assert trainer.history, "no logged history"
+    first, last = trainer.history[0], trainer.history[-1]
+    assert last["loss"] < first["loss"], f"no learning: {first} -> {last}"
+
+    # resume: a fresh trainer restores step 30 and continues to 40
+    cfg2 = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 40})
+    trainer2 = Trainer(cfg2)
+    assert trainer2.maybe_resume() == 30
+    assert int(trainer2.state.step) == 30
+    batches = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=1)
+    trainer2.fit(batches)
+    assert int(trainer2.state.step) == 40
+
+
+def test_loader_shapes_and_determinism():
+    ds = SyntheticDataset(size=10, n_stored=100, split="train")
+    b1 = next(iter(iterate_batches(ds, 4, 32, seed=7)))
+    b2 = next(iter(iterate_batches(ds, 4, 32, seed=7)))
+    assert b1["x"].shape == (4, 32, 3)
+    np.testing.assert_array_equal(b1["x"], b2["x"])
+    all_clouds = load_all(ds, 16)
+    assert all_clouds.shape == (10, 16, 3)
+
+
+def test_normalize_modes():
+    from dpfx.data import NormStats, compute_global_stats, normalize_cloud
+
+    x = np.random.default_rng(0).normal(size=(100, 3)).astype(np.float32) * 3 + 1
+    y = normalize_cloud(x, "per_shape")
+    np.testing.assert_allclose(y.mean(axis=0), 0, atol=1e-5)
+    assert np.max(np.linalg.norm(y, axis=1)) <= 1 + 1e-5
+    stats = compute_global_stats(x[None])
+    z = normalize_cloud(x, "global", stats)
+    np.testing.assert_allclose(z.mean(), 0, atol=1e-2)
