@@ -1,0 +1,404 @@
+"""Chamfer distance (nndistance) — Pallas TPU kernels + jnp oracle.
+
+TPU-native replacement for the reference's CUDA ``nndistance`` extension
+(SURVEY.md §2 C15: per-point squared distance to the nearest neighbor in the
+other cloud, both directions, O(N^2) per pair; forward + backward).
+
+Semantics (PointFlow-lineage convention, SURVEY.md §7 metric conventions):
+
+    dl[i] = min_j ||x_i - y_j||^2        (squared L2, NOT square-rooted)
+    dr[j] = min_i ||x_i - y_j||^2
+    CD(X, Y) = mean_i dl[i] + mean_j dr[j]
+
+Kernel design (SURVEY.md §8 step 6a): the [N, M] distance tile never touches
+HBM. Distances come from one MXU matmul per tile via
+``|x|^2 + |y|^2 - 2 x.y^T`` (coords zero-padded 3->8 lanes), with row minima
+written per tile and running column minima carried in VMEM scratch across
+the sequential row-tile axis. Three kernels:
+
+  * forward, batched diagonal pairs — grid (B, row_tiles); min values only
+    (no argmin: Mosaic argmin lowering is slow and backward doesn't need it)
+  * backward, batched — grid (B,): recomputes distance tiles and forms the
+    nearest-neighbor assignment as an equality mask ``d == dmin`` (bitwise
+    reproducible because the recompute is instruction-identical), so the
+    whole backward is mask matmuls on the MXU — no gather/scatter at all.
+    Ties (duplicated points) split gradient mass evenly via count
+    normalization; the CUDA reference picks one neighbor — measure-zero
+    difference for generic clouds.
+  * pairwise metric matrix — grid (S1, S2, row_tiles), emitting per-pair
+    directional means directly (SURVEY.md §3.3 hot loop); the
+    [S1*S2, N, M] distance volume never exists anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_BIG = 1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _pad_coords(x: Array, n_to: int) -> Array:
+    """[.., N, 3] -> [.., n_to, 8]: zero-pad lanes; padded rows sit at a far
+    coordinate so they never win a min against real points."""
+    *lead, n, c = x.shape
+    out = jnp.zeros((*lead, n_to, 8), jnp.float32)
+    out = out.at[..., :n, :c].set(x.astype(jnp.float32))
+    if n_to > n:
+        out = out.at[..., n:, 3].set(1e15)
+    return out
+
+
+def _pad_vec(v: Array, n_to: int, fill: float) -> Array:
+    """[.., N] -> [.., n_to]."""
+    *lead, n = v.shape
+    out = jnp.full((*lead, n_to), fill, jnp.float32)
+    return out.at[..., :n].set(v.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# jnp oracle (SURVEY.md §4 metric parity oracles)
+# ---------------------------------------------------------------------------
+
+
+def sqdist_matrix(x: Array, y: Array) -> Array:
+    """[.., N, 3], [.., M, 3] -> [.., N, M] squared distances."""
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True)
+    xy = jnp.einsum("...nc,...mc->...nm", x, y)
+    return jnp.maximum(x2 - 2.0 * xy + jnp.swapaxes(y2, -1, -2), 0.0)
+
+
+def nn_distances_jnp(x: Array, y: Array) -> Tuple[Array, Array, Array, Array]:
+    """Oracle: (dl [..,N], il [..,N], dr [..,M], ir [..,M])."""
+    d = sqdist_matrix(x, y)
+    return (
+        jnp.min(d, axis=-1),
+        jnp.argmin(d, axis=-1).astype(jnp.int32),
+        jnp.min(d, axis=-2),
+        jnp.argmin(d, axis=-2).astype(jnp.int32),
+    )
+
+
+def nn_distances_all(x: Array, y: Array, impl: str = "jnp"):
+    """Batched diagonal nndistance with argmin indices. Always the XLA path:
+    argmin is only needed by callers wanting explicit correspondences; the
+    Pallas kernels avoid it (see module docstring)."""
+    del impl
+    return nn_distances_jnp(x, y)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _sq_tile(xt: Array, y: Array, y2: Array) -> Array:
+    """[TN, 8], [M, 8], [1, M] -> [TN, M] squared distances (one MXU matmul)."""
+    x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
+    xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32)
+    return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+
+
+def _nnd_fwd_pallas(xp: Array, yp: Array, tn: int):
+    """Diagonal pairs. xp: [B, Np, 8], yp: [B, Mp, 8] ->
+    (dl [B, Np, 1], dr [B, 1, Mp]) — min values only, padded layout."""
+    b, n_pad, _ = xp.shape
+    m_pad = yp.shape[1]
+    nt = n_pad // tn
+
+    def kernel(x_ref, y_ref, dl_ref, dr_ref, colmin):
+        i = pl.program_id(1)
+
+        @pl.when(i == 0)
+        def _():
+            colmin[:] = jnp.full_like(colmin, _BIG)
+
+        y = y_ref[0]
+        y2 = jnp.sum(y * y, axis=-1, keepdims=True).T
+        d = _sq_tile(x_ref[0, pl.ds(i * tn, tn), :], y, y2)
+        dl_ref[0, pl.ds(i * tn, tn), :] = jnp.min(d, axis=1, keepdims=True)
+        colmin[:] = jnp.minimum(colmin[:], jnp.min(d, axis=0, keepdims=True))
+
+        @pl.when(i == nt - 1)
+        def _():
+            dr_ref[0, :, :] = colmin[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, 1), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, m_pad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, m_pad), jnp.float32)],
+        interpret=_interpret(),
+    )(xp, yp)
+
+
+def _nnd_bwd_pallas(xp, yp, dl, dr, glp, grp, tn: int):
+    """Backward via equality masks. Shapes as produced by `_nnd_fwd_pallas`:
+    dl/gl [B, Np, 1], dr/gr [B, 1, Mp]. Returns (gx [B,Np,8], gy [B,Mp,8])."""
+    b, n_pad, _ = xp.shape
+    m_pad = yp.shape[1]
+    nt = n_pad // tn
+
+    def kernel(x_ref, y_ref, dl_ref, dr_ref, gl_ref, gr_ref, gx_ref, gy_ref,
+               colcnt, colwl, gyacc):
+        y = y_ref[0]
+        y2 = jnp.sum(y * y, axis=-1, keepdims=True).T
+        gr = gr_ref[0]          # [1, Mp]
+        dr_row = dr_ref[0]      # [1, Mp]
+
+        colcnt[:] = jnp.zeros_like(colcnt)
+        colwl[:] = jnp.zeros_like(colwl)
+        gyacc[:] = jnp.zeros_like(gyacc)
+
+        # pass A: row-direction grads + column tie counts
+        def pa(i, _):
+            xt = x_ref[0, pl.ds(i * tn, tn), :]
+            d = _sq_tile(xt, y, y2)
+            dlt = dl_ref[0, pl.ds(i * tn, tn), :]    # [TN, 1]
+            glt = gl_ref[0, pl.ds(i * tn, tn), :]    # [TN, 1]
+            maskl = (d <= dlt).astype(jnp.float32)
+            rowcnt = jnp.maximum(jnp.sum(maskl, axis=1, keepdims=True), 1.0)
+            wl = glt * maskl / rowcnt                # rows sum to gl_i
+            gx_ref[0, pl.ds(i * tn, tn), :] = 2.0 * glt * xt - 2.0 * jnp.dot(
+                wl, y, preferred_element_type=jnp.float32
+            )
+            gyacc[:] += -2.0 * jnp.dot(wl.T, xt, preferred_element_type=jnp.float32)
+            colwl[:] += jnp.sum(wl, axis=0, keepdims=True)
+            maskr = (d <= dr_row).astype(jnp.float32)
+            colcnt[:] += jnp.sum(maskr, axis=0, keepdims=True)
+            return 0
+
+        jax.lax.fori_loop(0, nt, pa, 0, unroll=False)
+
+        # pass B: column-direction grads (needs global tie counts)
+        def pb(i, _):
+            xt = x_ref[0, pl.ds(i * tn, tn), :]
+            d = _sq_tile(xt, y, y2)
+            maskr = (d <= dr_row).astype(jnp.float32)
+            wr = gr * maskr / jnp.maximum(colcnt[:], 1.0)  # cols sum to gr_j
+            gx_ref[0, pl.ds(i * tn, tn), :] += 2.0 * xt * jnp.sum(
+                wr, axis=1, keepdims=True
+            ) - 2.0 * jnp.dot(wr, y, preferred_element_type=jnp.float32)
+            gyacc[:] += -2.0 * jnp.dot(wr.T, xt, preferred_element_type=jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nt, pb, 0, unroll=False)
+        gy_ref[0] = 2.0 * y * (gr + colwl[:]).T + gyacc[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, m_pad), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, m_pad, 8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),  # colcnt
+            pltpu.VMEM((1, m_pad), jnp.float32),  # colwl
+            pltpu.VMEM((m_pad, 8), jnp.float32),  # gy accumulator
+        ],
+        interpret=_interpret(),
+    )(xp, yp, dl, dr, glp, grp)
+
+
+def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
+    """Pairwise CD matrix. xp: [S1, Np, 8], yp: [S2, Mp, 8] (padded; true
+    sizes n, m static) -> cd [S1, S2]. Per-pair means computed in-kernel.
+
+    The output is a [S1, 1, S2_pad] row per left cloud: a VMEM row scratch
+    collects one CD scalar per right cloud (lane-masked select — Mosaic has
+    no scalar dynamic stores) and the revisited output block is flushed when
+    the grid advances to the next left cloud."""
+    s1, n_pad, _ = xp.shape
+    s2, m_pad = yp.shape[0], yp.shape[1]
+    nt = n_pad // tn
+    s2_pad = _round_up(s2, 128)
+
+    def kernel(x_ref, y_ref, cd_ref, colmin, rowacc, cdrow):
+        b_ = pl.program_id(1)
+        i = pl.program_id(2)
+
+        @pl.when(i == 0)
+        def _():
+            colmin[:] = jnp.full_like(colmin, _BIG)
+            rowacc[0, 0] = 0.0
+
+        y = y_ref[0]
+        y2 = jnp.sum(y * y, axis=-1, keepdims=True).T
+        d = _sq_tile(x_ref[0, pl.ds(i * tn, tn), :], y, y2)  # [TN, Mp]
+
+        # masking only exists when the cloud sizes needed padding (the
+        # aligned 2048-point case skips all of it — it is VPU-bound)
+        if m_pad != m:
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 1)
+            row_min = jnp.min(jnp.where(col_ids < m, d, _BIG), axis=1, keepdims=True)
+        else:
+            row_min = jnp.min(d, axis=1, keepdims=True)
+        if n_pad != n:
+            row_valid = (jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + i * tn) < n
+            rowacc[0, 0] += jnp.sum(jnp.where(row_valid, row_min, 0.0))
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 0) + i * tn
+            tile_min = jnp.min(jnp.where(row_ids < n, d, _BIG), axis=0, keepdims=True)
+        else:
+            rowacc[0, 0] += jnp.sum(row_min)
+            tile_min = jnp.min(d, axis=0, keepdims=True)
+        colmin[:] = jnp.minimum(colmin[:], tile_min)
+
+        @pl.when(i == nt - 1)
+        def _():
+            col_valid = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1) < m
+            mean_r = jnp.sum(jnp.where(col_valid, colmin[:], 0.0)) / float(m)
+            cd_val = rowacc[0, 0] / float(n) + mean_r
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
+            base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), cdrow[:])
+            cdrow[:] = jnp.where(lane == b_, cd_val, base)
+            cd_ref[0, :, :] = cdrow[:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(s1, s2, nt),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda a, b_, i: (a, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda a, b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, s2_pad), lambda a, b_, i: (a, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s1, 1, s2_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),  # scalar accumulator: SMEM only
+            pltpu.VMEM((1, s2_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xp, yp)
+    return out[:, 0, :s2]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _prep_pair(x: Array, y: Array):
+    n, m = x.shape[-2], y.shape[-2]
+    tn = min(256, _round_up(n, 8))
+    xp = _pad_coords(x, _round_up(n, tn))
+    yp = _pad_coords(y, _round_up(m, 128))
+    return xp, yp, n, m, tn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nn_distances(x: Array, y: Array, impl: str = "auto"):
+    """Differentiable (dl [B,N], dr [B,M]): squared NN distances both ways."""
+    (dl, dr), _ = _nnd_vjp_fwd(x, y, impl)
+    return dl, dr
+
+
+def _nnd_vjp_fwd(x, y, impl):
+    if impl == "auto":
+        impl = "pallas"
+    if impl == "jnp":
+        dl, il, dr, ir = nn_distances_jnp(x, y)
+        return (dl, dr), (x, y, il, ir)
+    xp, yp, n, m, tn = _prep_pair(x, y)
+    dlp, drp = _nnd_fwd_pallas(xp, yp, tn)
+    return (dlp[:, :n, 0], drp[:, 0, :m]), (x, y, dlp, drp)
+
+
+def _nnd_vjp_bwd(impl, res, g):
+    if impl == "auto":
+        impl = "pallas"
+    x, y = res[0], res[1]
+    gl, gr = g  # [B,N], [B,M]
+    if impl == "jnp":
+        il, ir = res[2], res[3]
+        y_near = jnp.take_along_axis(y, il[..., None], axis=-2)
+        x_near = jnp.take_along_axis(x, ir[..., None], axis=-2)
+        diff_l = x - y_near
+        diff_r = y - x_near
+        gx = 2.0 * gl[..., None] * diff_l
+        gy = 2.0 * gr[..., None] * diff_r
+        bidx = jnp.arange(x.shape[0])[:, None]
+        gy_from_l = jnp.zeros_like(y).at[bidx, il].add(-gx)
+        gx_from_r = jnp.zeros_like(x).at[bidx, ir].add(-gy)
+        return gx + gx_from_r, gy + gy_from_l
+    dlp, drp = res[2], res[3]
+    xp, yp, n, m, tn = _prep_pair(x, y)
+    glp = _pad_vec(gl, xp.shape[1], 0.0)[..., None]        # [B, Np, 1]
+    grp = _pad_vec(gr, yp.shape[1], 0.0)[..., None, :]     # [B, 1, Mp]
+    gx, gy = _nnd_bwd_pallas(xp, yp, dlp, drp, glp, grp, tn)
+    return gx[:, :n, :3], gy[:, :m, :3]
+
+
+nn_distances.defvjp(_nnd_vjp_fwd, _nnd_vjp_bwd)
+
+
+def chamfer(x: Array, y: Array, impl: str = "auto") -> Array:
+    """CD per diagonal pair: mean_i dl + mean_j dr. x,y: [B,N,3],[B,M,3] -> [B]."""
+    dl, dr = nn_distances(x, y, impl)
+    return jnp.mean(dl, axis=-1) + jnp.mean(dr, axis=-1)
+
+
+def chamfer_parts(x: Array, y: Array, impl: str = "auto") -> Tuple[Array, Array]:
+    """Both directional means separately (some tables report them split)."""
+    dl, dr = nn_distances(x, y, impl)
+    return jnp.mean(dl, axis=-1), jnp.mean(dr, axis=-1)
+
+
+def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto") -> Array:
+    """Full pairwise CD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2]."""
+    if impl == "auto":
+        impl = "pallas"
+    s1, n, _ = xs.shape
+    s2, m, _ = ys.shape
+    if impl == "jnp":
+        def row(xi):
+            d = sqdist_matrix(xi[None], ys)  # [S2, N, M]
+            return jnp.mean(jnp.min(d, axis=-1), axis=-1) + jnp.mean(
+                jnp.min(d, axis=-2), axis=-1
+            )
+        return jax.lax.map(row, xs)
+    tn = min(256, _round_up(n, 8))
+    xp = _pad_coords(xs, _round_up(n, tn))
+    yp = _pad_coords(ys, _round_up(m, 128))
+    return _cd_pallas_pairwise(xp, yp, n, m, tn)

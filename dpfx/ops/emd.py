@@ -1,0 +1,389 @@
+"""Approximate Earth Mover's Distance (approxmatch) — Pallas TPU kernel +
+jnp oracle.
+
+TPU-native replacement for the reference's CUDA ``approxmatch``/``match_cost``
+extension (SURVEY.md §2 C16): iterative temperature-annealed soft matching,
+O(N^2) * iters per pair, forward + backward.
+
+Algorithm (PointFlow-lineage schedule; the reference mount was empty so the
+schedule is reconstructed from the public approxmatch kernel semantics —
+SURVEY.md §8 hard-part 1 and §9.7 VERIFY):
+
+    factorl = max(n, m) / n ; factorr = max(n, m) / m
+    remainl[i] = factorl ; remainr[j] = factorr ; match = 0
+    for j in (7, 6, ..., -2):                       # 10 iterations
+        level = -4^j   (0 when j == -2)
+        w_ij    = exp(level * d_ij) * remainr[j]     # d = squared L2
+        ss_ij   = w_ij / (sum_j w_ij + 1e-9) * remainl[i]
+        colsum_j = sum_i ss_ij
+        ratio_j = min(remainr[j] / (colsum_j + 1e-9), 1)
+        delta   = ss_ij * ratio_j
+        match  += delta
+        remainl[i] -= sum_j delta ; remainr[j] -= colsum_j * ratio_j
+    cost = sum_ij match_ij * ||x_i - y_j||           # Euclidean, not squared
+    EMD(X, Y) = cost / n                             # PointFlow reduction
+
+Gradients treat the transport plan as constant (as the CUDA backward does):
+    d cost / d x_i = sum_j match_ij (x_i - y_j) / ||x_i - y_j||
+
+Kernel design (SURVEY.md §8 step 6b): per pair, clouds + all matching state
+(remainl/remainr/rowsum/colsum/grad accumulators) live in VMEM; the [N, M]
+distance/weight tiles are recomputed per pass from one MXU matmul each, so
+neither d nor match ever exists in HBM (the jnp oracle materializes both,
+which is why it is the oracle and not the implementation). Three tile passes
+per iteration (rowsum -> colsum -> apply); gradients accumulate inside the
+apply pass as two extra MXU matmuls, making the backward nearly free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpfx.ops.chamfer import _interpret, _pad_coords, _round_up, sqdist_matrix
+
+Array = jax.Array
+
+_EPS = 1e-9
+_DEFAULT_ITERS = 10
+
+
+def match_levels(n_iters: int = _DEFAULT_ITERS) -> List[float]:
+    """Annealing schedule: j = n_iters-3 .. -2; level = -4^j, 0 at j=-2."""
+    js = list(range(n_iters - 3, -3, -1))
+    return [0.0 if j == -2 else -(4.0 ** j) for j in js]
+
+
+# ---------------------------------------------------------------------------
+# jnp oracle (SURVEY.md §4: parity fixture for the Pallas kernel)
+# ---------------------------------------------------------------------------
+
+
+def approx_match_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS) -> Array:
+    """Transport plan match [.., N, M] for x [.., N, 3], y [.., M, 3]."""
+    n, m = x.shape[-2], y.shape[-2]
+    factorl = max(n, m) / n
+    factorr = max(n, m) / m
+    d = sqdist_matrix(x, y)
+    batch = x.shape[:-2]
+    remainl = jnp.full((*batch, n, 1), factorl, jnp.float32)
+    remainr = jnp.full((*batch, 1, m), factorr, jnp.float32)
+    match = jnp.zeros((*batch, n, m), jnp.float32)
+    for level in match_levels(n_iters):
+        w = jnp.exp(level * d) * remainr
+        rowsum = jnp.sum(w, axis=-1, keepdims=True)
+        ss = w / (rowsum + _EPS) * remainl
+        colsum = jnp.sum(ss, axis=-2, keepdims=True)
+        ratio = jnp.minimum(remainr / (colsum + _EPS), 1.0)
+        delta = ss * ratio
+        match = match + delta
+        remainl = jnp.maximum(remainl - jnp.sum(delta, axis=-1, keepdims=True), 0.0)
+        remainr = jnp.maximum(remainr - colsum * ratio, 0.0)
+    return match
+
+
+def match_cost_jnp(x: Array, y: Array, match: Array) -> Array:
+    dist = jnp.sqrt(sqdist_matrix(x, y))
+    return jnp.sum(match * dist, axis=(-2, -1))
+
+
+def emd_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS) -> Array:
+    """[.., N, 3], [.., M, 3] -> [..] EMD (match cost / n)."""
+    match = approx_match_jnp(x, y, n_iters)
+    return match_cost_jnp(x, y, match) / x.shape[-2]
+
+
+def emd_grads_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS):
+    """(cost/n, dcost/dx / n, dcost/dy / n) with the plan held constant."""
+    match = approx_match_jnp(x, y, n_iters)
+    diff = x[..., :, None, :] - y[..., None, :, :]          # [.., N, M, 3]
+    dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    cost = jnp.sum(match * dist, axis=(-2, -1))
+    unit = diff / jnp.maximum(dist, _EPS)[..., None]
+    gx = jnp.sum(match[..., None] * unit, axis=-2)
+    gy = -jnp.sum(match[..., None] * unit, axis=-3)
+    n = x.shape[-2]
+    return cost / n, gx / n, gy / n
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _emd_kernel_body(
+    x_ref, y_ref, scratches, *, n: int, m: int, tn: int, n_pad: int, m_pad: int,
+    n_iters: int, with_grad: bool,
+):
+    """Shared per-pair body. Returns nothing; results land in scratches:
+    cost (1,1), and gx/gy accumulators when with_grad.
+
+    Two tile passes per annealing level (rowsum is complete within a row
+    tile because every tile spans all M columns, so pass 1 also accumulates
+    the column sums); the level loop is a fori_loop with the level computed
+    from the iteration index — unrolling 10 levels made Mosaic compile for
+    minutes."""
+    (remainl, remainr, rowsum, colsum, cost, gx, gy) = scratches
+    nt = n_pad // tn
+    factorl = float(max(n, m) / n)
+    factorr = float(max(n, m) / m)
+
+    row_ids_col = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0)
+    col_ids_row = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1)
+    remainl[:] = jnp.where(row_ids_col < n, factorl, 0.0)
+    remainr[:] = jnp.where(col_ids_row < m, factorr, 0.0)
+    cost[0, 0] = 0.0
+    if with_grad:
+        gx[:] = jnp.zeros_like(gx)
+        gy[:] = jnp.zeros_like(gy)
+
+    y = y_ref[0]  # [Mp, 8]
+    y2 = jnp.sum(y * y, axis=-1, keepdims=True).T  # [1, Mp]
+
+    def d_tile(i):
+        # slice the ref (VMEM read): value-level dynamic_slice has no Mosaic
+        # lowering
+        xt = x_ref[0, pl.ds(i * tn, tn), :]  # [TN, 8]
+        x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
+        xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32)
+        return xt, jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+
+    def level_body(it, _):
+        # level = -4^(n_iters-3-it), except 0 on the final iteration
+        j = (n_iters - 3 - it).astype(jnp.float32)
+        level = jnp.where(it == n_iters - 1, 0.0, -jnp.exp2(2.0 * j))
+
+        # pass 1: per-tile rowsums (complete: a tile spans all M columns)
+        # + accumulate global column sums of ss
+        def p1(i, _):
+            _, d = d_tile(i)
+            w = jnp.exp(level * d) * remainr[:]
+            rs = jnp.sum(w, axis=1, keepdims=True)
+            rowsum[pl.ds(i * tn, tn), :] = rs
+            ss = w / (rs + _EPS) * remainl[pl.ds(i * tn, tn), :]
+            colsum[:] = colsum[:] + jnp.sum(ss, axis=0, keepdims=True)
+            return 0
+
+        colsum[:] = jnp.zeros_like(colsum)
+        jax.lax.fori_loop(0, nt, p1, 0, unroll=False)
+
+        ratio = jnp.minimum(remainr[:] / (colsum[:] + _EPS), 1.0)  # [1, Mp]
+
+        # pass 2: apply delta = ss * ratio; accumulate cost (+ grads)
+        def p2(i, _):
+            xt, d = d_tile(i)
+            w = jnp.exp(level * d) * remainr[:]
+            ss = w / (rowsum[pl.ds(i * tn, tn), :] + _EPS) * remainl[pl.ds(i * tn, tn), :]
+            delta = ss * ratio
+            dist = jnp.sqrt(d)
+            cost[0, 0] += jnp.sum(delta * dist)
+            remainl[pl.ds(i * tn, tn), :] = jnp.maximum(
+                remainl[pl.ds(i * tn, tn), :] - jnp.sum(delta, axis=1, keepdims=True), 0.0
+            )
+            if with_grad:
+                # d cost/d x_i += sum_j delta (x_i - y_j)/dist
+                k = delta / jnp.maximum(dist, _EPS)              # [TN, Mp]
+                krow = jnp.sum(k, axis=1, keepdims=True)          # [TN, 1]
+                ky = jnp.dot(k, y, preferred_element_type=jnp.float32)  # [TN, 8]
+                gx[pl.ds(i * tn, tn), :] += xt * krow - ky
+                kcol = jnp.sum(k, axis=0, keepdims=True)          # [1, Mp]
+                kx = jnp.dot(k.T, xt, preferred_element_type=jnp.float32)  # [Mp, 8]
+                gy[:] += y * kcol.T - kx
+            return 0
+
+        jax.lax.fori_loop(0, nt, p2, 0, unroll=False)
+        remainr[:] = jnp.maximum(remainr[:] - colsum[:] * ratio, 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, n_iters, level_body, 0, unroll=False)
+
+
+def _emd_pallas_batched(
+    xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int, with_grad: bool
+):
+    """Diagonal pairs. xp [B, Np, 8], yp [B, Mp, 8] ->
+    cost [B] (/n applied by caller) and optionally (gx [B,Np,8], gy [B,Mp,8])."""
+    b, n_pad, _ = xp.shape
+    m_pad = yp.shape[1]
+
+    def kernel(x_ref, y_ref, cost_ref, *rest):
+        if with_grad:
+            gx_ref, gy_ref, remainl, remainr, rowsum, colsum, cost, gx, gy = rest
+        else:
+            remainl, remainr, rowsum, colsum, cost = rest
+            gx = gy = None
+        _emd_kernel_body(
+            x_ref, y_ref, (remainl, remainr, rowsum, colsum, cost, gx, gy),
+            n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
+            n_iters=n_iters, with_grad=with_grad,
+        )
+        # scalar cost goes out as a broadcast 128-lane row (Mosaic's trailing
+        # block dims must be (>=8, >=128) or equal the array dims)
+        cost_ref[0, :, :] = jnp.full((1, 128), cost[0, 0], jnp.float32)
+        if with_grad:
+            gx_ref[0] = gx[:]
+            gy_ref[0] = gy[:]
+
+    out_shape = [jax.ShapeDtypeStruct((b, 1, 128), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, 1, 128), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM)]
+    if with_grad:
+        out_shape += [
+            jax.ShapeDtypeStruct((b, n_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, m_pad, 8), jnp.float32),
+        ]
+        out_specs += [
+            pl.BlockSpec((1, n_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ]
+    scratch = [
+        pltpu.VMEM((n_pad, 1), jnp.float32),   # remainl
+        pltpu.VMEM((1, m_pad), jnp.float32),   # remainr
+        pltpu.VMEM((n_pad, 1), jnp.float32),   # rowsum
+        pltpu.VMEM((1, m_pad), jnp.float32),   # colsum
+        pltpu.SMEM((1, 1), jnp.float32),       # cost (scalar: SMEM only)
+    ]
+    if with_grad:
+        scratch += [
+            pltpu.VMEM((n_pad, 8), jnp.float32),
+            pltpu.VMEM((m_pad, 8), jnp.float32),
+        ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(xp, yp)
+    if with_grad:
+        return out[0][:, 0, 0], out[1], out[2]
+    return out[0][:, 0, 0]
+
+
+def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int):
+    """Full pairwise EMD-cost matrix [S1, S2] (cost, caller divides by n).
+
+    Output layout [S1, 1, S2_pad]: one revisited row block per left cloud,
+    filled via a lane-masked VMEM row scratch (same scheme as
+    chamfer._cd_pallas_pairwise)."""
+    s1, n_pad, _ = xp.shape
+    s2, m_pad = yp.shape[0], yp.shape[1]
+    s2_pad = _round_up(s2, 128)
+
+    def kernel(x_ref, y_ref, cost_ref, remainl, remainr, rowsum, colsum, cost, costrow):
+        b_ = pl.program_id(1)
+        _emd_kernel_body(
+            x_ref, y_ref, (remainl, remainr, rowsum, colsum, cost, None, None),
+            n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
+            n_iters=n_iters, with_grad=False,
+        )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
+        base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), costrow[:])
+        costrow[:] = jnp.where(lane == b_, cost[0, 0], base)
+        cost_ref[0, :, :] = costrow[:]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(s1, s2),
+        in_specs=[
+            pl.BlockSpec((1, n_pad, 8), lambda a, b_: (a, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda a, b_: (b_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, s2_pad), lambda a, b_: (a, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((s1, 1, s2_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 1), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.VMEM((n_pad, 1), jnp.float32),
+            pltpu.VMEM((1, m_pad), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),  # cost (scalar: SMEM only)
+            pltpu.VMEM((1, s2_pad), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(xp, yp)
+    return out[:, 0, :s2]
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def _prep(x: Array, y: Array) -> Tuple[Array, Array, int, int, int]:
+    n, m = x.shape[-2], y.shape[-2]
+    tn = min(256, _round_up(n, 8))
+    xp = _pad_coords(x, _round_up(n, tn))
+    yp = _pad_coords(y, _round_up(m, 128))
+    return xp, yp, n, m, tn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def emd(x: Array, y: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS) -> Array:
+    """Approx EMD per diagonal pair: x [B,N,3], y [B,M,3] -> [B]."""
+    cost, _, _ = _emd_fwd_impl(x, y, impl, n_iters)
+    return cost
+
+
+def _emd_fwd_impl(x, y, impl, n_iters):
+    if impl == "auto":
+        impl = "pallas"
+    if impl == "jnp":
+        # chunk pairs to keep the [N, M] oracle intermediates bounded
+        def one(args):
+            xi, yi = args
+            return emd_grads_jnp(xi[None], yi[None], n_iters)
+        cost, gx, gy = jax.lax.map(one, (x, y))
+        return cost[:, 0], gx[:, 0], gy[:, 0]
+    xp, yp, n, m, tn = _prep(x, y)
+    cost, gx, gy = _emd_pallas_batched(xp, yp, n, m, tn, n_iters, with_grad=True)
+    return cost / n, gx[:, :n, :3] / n, gy[:, :m, :3] / n
+
+
+def _emd_vjp_fwd(x, y, impl, n_iters):
+    cost, gx, gy = _emd_fwd_impl(x, y, impl, n_iters)
+    return cost, (gx, gy)
+
+
+def _emd_vjp_bwd(impl, n_iters, res, g):
+    gx, gy = res
+    return g[..., None, None] * gx, g[..., None, None] * gy
+
+
+emd.defvjp(_emd_vjp_fwd, _emd_vjp_bwd)
+
+
+def emd_nograd(x: Array, y: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS) -> Array:
+    """Eval-only EMD (skips the gradient accumulation passes)."""
+    if impl == "auto":
+        impl = "pallas"
+    if impl == "jnp":
+        return jax.lax.map(lambda args: emd_jnp(args[0], args[1], n_iters), (x, y))
+    xp, yp, n, m, tn = _prep(x, y)
+    return _emd_pallas_batched(xp, yp, n, m, tn, n_iters, with_grad=False) / n
+
+
+def emd_pairwise(
+    xs: Array, ys: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS
+) -> Array:
+    """Full pairwise EMD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2]
+    (SURVEY.md §3.3 eval hot loop)."""
+    if impl == "auto":
+        impl = "pallas"
+    n = xs.shape[-2]
+    if impl == "jnp":
+        def row(xi):
+            return jax.lax.map(lambda yj: emd_jnp(xi, yj, n_iters), ys)
+        return jax.lax.map(row, xs)
+    xp, yp, n, m, tn = _prep(xs, ys)
+    return _emd_pallas_pairwise(xp, yp, n, m, tn, n_iters) / n
