@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Driver benchmark: end-to-end jitted sampling throughput on the flagship
+model (BASELINE.json tracked metric: points/sec/chip; SURVEY.md §3.2 is the
+paper's headline-efficiency path).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline protocol (BASELINE.md): the reference's own numbers are not
+capturable offline (empty mount, no network), so the baseline is the first
+measured value on this chip, pinned below; the ratio tracks progress across
+rounds. Full methodology in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# First steady-state measurement on TPU v5 lite (round 1, flagship config,
+# B=256 x N=2048, f32, commit b2e2289-era): pinned as the cross-round
+# baseline; vs_baseline therefore reads as "x over the round-1 unoptimized
+# sampler".
+PINNED_BASELINE_POINTS_PER_SEC = 18_513_899.0
+
+B = 256
+N = 2048
+
+
+def main() -> None:
+    from dpfx.models import DPF
+    from __graft_entry__ import _flagship_config
+
+    cfg = _flagship_config()
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    x_init = jnp.zeros((2, 16, 3), jnp.float32)
+    params = model.init(rng, x_init, rng)
+
+    @jax.jit
+    def sample(rng):
+        return model.apply(params, rng, B, N, method=model.sample)
+
+    # compile + warm
+    jax.block_until_ready(sample(rng))
+    # steady state: chain dependent calls, materialize at the end
+    reps = 10
+    t0 = time.perf_counter()
+    outs = [sample(jax.random.fold_in(rng, i)) for i in range(reps)]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    assert bool(jnp.isfinite(outs[-1]).all())
+
+    pts_per_sec = B * N / dt
+    print(json.dumps({
+        "metric": "sample_points_per_sec_per_chip",
+        "value": round(pts_per_sec),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / PINNED_BASELINE_POINTS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+from dpfx.metrics.generation import (
+    compute_all_metrics,
+    jsd_between_sets,
+    mmd_cov,
+    one_nna,
+    pairwise_matrix,
+)
+from dpfx.metrics.protocol import evaluate_generation, evaluate_reconstruction
+
+__all__ = [
+    "compute_all_metrics",
+    "jsd_between_sets",
+    "mmd_cov",
+    "one_nna",
+    "pairwise_matrix",
+    "evaluate_generation",
+    "evaluate_reconstruction",
+]

@@ -1,0 +1,88 @@
+"""Task-level evaluation protocols (SURVEY.md §2 C13/C14, §3.3/§3.4/§3.5).
+
+  * autoencoding: encode test cloud -> inverse-flow decode N points ->
+    per-pair CD (and EMD) -> dataset means (SURVEY.md §3.4)
+  * generation: sample a set matching the test set -> full metric suite
+    (SURVEY.md §3.3)
+  * svr: decode from the image posterior -> per-pair CD/EMD vs GT cloud
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from dpfx.config import Config
+from dpfx.metrics.generation import compute_all_metrics
+from dpfx.models import DPF
+from dpfx.ops import chamfer, emd_nograd
+
+
+def evaluate_reconstruction(
+    model: DPF,
+    params,
+    clouds: np.ndarray,
+    cfg: Config,
+    rng,
+    images: Optional[np.ndarray] = None,
+    impl: str = "auto",
+) -> Dict[str, float]:
+    """AE / SVR reconstruction eval. clouds: [S, N, 3] test split."""
+    bsz = cfg.eval.batch_size
+    use_emd = "emd" in cfg.eval.metrics
+    n_iters = cfg.eval.emd_iters
+
+    @jax.jit
+    def recon_batch(xb, rngb, imgb=None):
+        rec = model.apply(params, xb, rngb, image=imgb, method=model.reconstruct)
+        cd = chamfer(rec, xb, impl)
+        e = emd_nograd(rec, xb, impl, n_iters) if use_emd else jnp.zeros_like(cd)
+        return cd, e
+
+    cds, emds = [], []
+    s = clouds.shape[0]
+    for i in range(0, s, bsz):
+        xb = jnp.asarray(clouds[i : i + bsz])
+        imgb = jnp.asarray(images[i : i + bsz]) if images is not None else None
+        cd, e = recon_batch(xb, jax.random.fold_in(rng, i), imgb)
+        cds.append(np.asarray(cd))
+        emds.append(np.asarray(e))
+    out = {"recon-cd": float(np.concatenate(cds).mean())}
+    if use_emd:
+        out["recon-emd"] = float(np.concatenate(emds).mean())
+    return out
+
+
+def evaluate_generation(
+    model: DPF,
+    params,
+    ref_clouds: np.ndarray,
+    cfg: Config,
+    rng,
+    mesh: Optional[Mesh] = None,
+    impl: str = "auto",
+    sample_batch: int = 64,
+) -> Dict[str, float]:
+    """Generation suite: |gen| = |ref| clouds of the ref's point count."""
+    s, n = ref_clouds.shape[0], ref_clouds.shape[1]
+
+    @jax.jit
+    def sample_batch_fn(rngb):
+        return model.apply(params, rngb, sample_batch, n, method=model.sample)
+
+    outs = []
+    for i in range(0, s, sample_batch):
+        outs.append(np.asarray(sample_batch_fn(jax.random.fold_in(rng, i))))
+    gen = np.concatenate(outs, axis=0)[:s]
+    return compute_all_metrics(
+        jnp.asarray(gen),
+        jnp.asarray(ref_clouds),
+        metrics=cfg.eval.metrics,
+        impl=impl,
+        mesh=mesh,
+        jsd_resolution=cfg.eval.jsd_resolution,
+    )

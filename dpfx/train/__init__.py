@@ -8,6 +8,7 @@ from dpfx.train.trainer import (
     make_optimizer,
     make_schedule,
     make_train_step,
+    restore_for_eval,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "make_optimizer",
     "make_schedule",
     "make_train_step",
+    "restore_for_eval",
 ]

@@ -173,6 +173,17 @@ class CheckpointManager:
         self.manager.wait_until_finished()
 
 
+def restore_for_eval(cfg: Config, step: Optional[int] = None):
+    """Rebuild the model from config and restore params from the latest (or
+    given) checkpoint — the eval/generate CLI entry path (SURVEY.md §3.2)."""
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = init_state(model, cfg, rng)
+    ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
+    state = ckpt.restore(state, step)
+    return model, state.params, int(state.step)
+
+
 class Trainer:
     """Step-based training loop with periodic eval / checkpoint / logging
     (SURVEY.md §3.1 call stack, re-shaped: one jitted sharded step)."""

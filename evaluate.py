@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Evaluate a trained DPF model (SURVEY.md §3.3/§3.4 call stacks).
+
+Usage:
+    python evaluate.py configs/<experiment>.yaml [key=value ...] [--step N]
+
+Task is taken from the config's `experiment`:
+  ae  -> reconstruction CD/EMD on the test split (C13)
+  gen -> sample |test| clouds and run MMD/COV/1-NNA/JSD (C14)
+  svr -> reconstruction from images (when the paired dataset is configured)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("overrides", nargs="*")
+    ap.add_argument("--step", type=int, default=None, help="checkpoint step (default: latest)")
+    ap.add_argument("--limit", type=int, default=None, help="cap test-set size")
+    ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "jnp"])
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from dpfx.config import load_config
+    from dpfx.data import build_dataset, load_all
+    from dpfx.metrics import evaluate_generation, evaluate_reconstruction
+    from dpfx.parallel import create_mesh
+    from dpfx.train import restore_for_eval
+
+    cfg = load_config(args.config, overrides=args.overrides)
+    model, params, step = restore_for_eval(cfg, args.step)
+    print(f"[dpfx] evaluating {cfg.experiment} @ step {step}")
+
+    test_ds = build_dataset(cfg.data, "test")
+    clouds = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit)
+    rng = jax.random.PRNGKey(0)
+    mesh = create_mesh(cfg.parallel.axis_name)
+
+    if cfg.experiment in ("ae", "svr"):
+        results = evaluate_reconstruction(model, params, clouds, cfg, rng, impl=args.impl)
+    elif cfg.experiment == "gen":
+        results = evaluate_generation(model, params, clouds, cfg, rng, mesh=mesh, impl=args.impl)
+    else:
+        raise ValueError(f"unknown experiment {cfg.experiment!r}")
+
+    print(json.dumps({"step": step, "n_test": int(clouds.shape[0]), **results}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
