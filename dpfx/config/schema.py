@@ -95,6 +95,10 @@ class FlowConfig:
     n_hidden: int = 2           # VERIFY-vs-reference: conditioner hidden depth
     use_actnorm: bool = False   # VERIFY-vs-reference: actnorm presence unknown (SURVEY §9.3)
     scale_cap: float = 8.0      # |log-scale| soft cap via tanh for numerical stability
+    # conditioner matmul dtype; coupling arithmetic + log-det stay f32, and
+    # inverse recomputes the identical (s, t), so invertibility is exact at
+    # any compute dtype. bfloat16 doubles MXU throughput on the sampling path.
+    compute_dtype: str = "float32"  # float32 | bfloat16
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

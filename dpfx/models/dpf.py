@@ -63,6 +63,7 @@ class DPF(nn.Module):
             n_hidden=m.point_flow.n_hidden,
             use_actnorm=m.point_flow.use_actnorm,
             scale_cap=m.point_flow.scale_cap,
+            dtype=jnp.dtype(m.point_flow.compute_dtype),
             name="point_flow",
         )
         self.latent_flow = CouplingFlow(
@@ -72,6 +73,7 @@ class DPF(nn.Module):
             n_hidden=m.latent_flow.n_hidden,
             use_actnorm=m.latent_flow.use_actnorm,
             scale_cap=m.latent_flow.scale_cap,
+            dtype=jnp.dtype(m.latent_flow.compute_dtype),
             name="latent_flow",
         )
         self.encoder = PointNetEncoder(
