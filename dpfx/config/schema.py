@@ -135,8 +135,12 @@ class ModelConfig:
 
 @dataclass
 class DataConfig:
-    dataset: str = "synthetic"   # synthetic | shapenet_h5 | shapenet_npy_dir
+    dataset: str = "synthetic"   # synthetic | synthetic_svr | shapenet_h5 |
+    #                              shapenet_npy_dir | shapenet_svr
     path: str = ""
+    render_path: str = ""        # SVR rendering root (shapenet_svr)
+    packed_path: str = ""        # packed [S,N,3] .npy for the native C++ loader
+    #                              (tools/pack_dataset.py); train-split only
     category: str = "airplane"   # or "all"
     n_points: int = 2048         # training cloud size [paper, HIGH]
     n_points_eval: int = 2048

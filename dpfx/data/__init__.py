@@ -1,4 +1,5 @@
-from dpfx.data.loader import iterate_batches, load_all, sample_cloud
+from dpfx.data.loader import iterate_batches, load_all, load_all_images, sample_cloud
+from dpfx.data.svr import ShapeNetRenderDataset, SyntheticSVRDataset, render_cloud
 from dpfx.data.shapenet import (
     SYNSET_IDS,
     NormStats,
@@ -13,7 +14,11 @@ from dpfx.data.synthetic import SyntheticDataset
 __all__ = [
     "iterate_batches",
     "load_all",
+    "load_all_images",
     "sample_cloud",
+    "ShapeNetRenderDataset",
+    "SyntheticSVRDataset",
+    "render_cloud",
     "SYNSET_IDS",
     "NormStats",
     "ShapeNetH5",

@@ -34,8 +34,10 @@ def iterate_batches(
     drop_last: bool = True,
     epochs: Optional[int] = None,
     with_labels: bool = False,
+    with_images: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Yields {"x": [B, n_points, 3]} batches, reshuffled every epoch."""
+    """Yields {"x": [B, n_points, 3]} batches (plus "image" [B,H,W,3] for
+    SVR datasets), reshuffled every epoch."""
     epoch = 0
     while epochs is None or epoch < epochs:
         rng = np.random.default_rng(seed * 1_000_003 + epoch)
@@ -49,6 +51,8 @@ def iterate_batches(
                 break
             clouds = np.stack([sample_cloud(dataset[int(i)], n_points, rng) for i in idx])
             batch = {"x": clouds}
+            if with_images and hasattr(dataset, "image"):
+                batch["image"] = np.stack([dataset.image(int(i)) for i in idx])
             if with_labels and hasattr(dataset, "label"):
                 batch["label"] = np.array([dataset.label(int(i)) for i in idx], np.int32)
             yield batch
@@ -60,3 +64,12 @@ def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None)
     rng = np.random.default_rng(seed)
     count = len(dataset) if limit is None else min(limit, len(dataset))
     return np.stack([sample_cloud(dataset[i], n_points, rng) for i in range(count)])
+
+
+def load_all_images(dataset, limit: Optional[int] = None) -> Optional[np.ndarray]:
+    """Materialize the paired renders [S, H, W, 3] for SVR eval, or None
+    for image-less datasets."""
+    if not hasattr(dataset, "image"):
+        return None
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    return np.stack([dataset.image(i) for i in range(count)])

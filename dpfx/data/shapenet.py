@@ -217,16 +217,29 @@ class ShapeNetNpyDir:
         return self.labels[idx]
 
 
-def build_dataset(cfg, split: str):
-    """Dataset factory from DataConfig (SURVEY.md §2 C2)."""
+def build_dataset(cfg, split: str, image_size: int = 64):
+    """Dataset factory from DataConfig (SURVEY.md §2 C2/C3)."""
     if cfg.dataset == "synthetic":
         sizes = {"train": cfg.synthetic_size, "val": max(cfg.synthetic_size // 4, 8),
                  "test": max(cfg.synthetic_size // 4, 8)}
         from dpfx.data.synthetic import SyntheticDataset
 
         return SyntheticDataset(size=sizes[split], modes=cfg.synthetic_modes, split=split)
+    if cfg.dataset == "synthetic_svr":
+        sizes = {"train": cfg.synthetic_size, "val": max(cfg.synthetic_size // 4, 8),
+                 "test": max(cfg.synthetic_size // 4, 8)}
+        from dpfx.data.svr import SyntheticSVRDataset
+
+        return SyntheticSVRDataset(size=sizes[split], image_size=image_size, split=split)
     if cfg.dataset == "shapenet_h5":
         return ShapeNetH5(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
     if cfg.dataset == "shapenet_npy_dir":
         return ShapeNetNpyDir(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
+    if cfg.dataset == "shapenet_svr":
+        from dpfx.data.svr import ShapeNetRenderDataset
+
+        return ShapeNetRenderDataset(
+            cfg.path, cfg.render_path, split=split, category=cfg.category,
+            normalize=cfg.normalize, image_size=image_size,
+        )
     raise ValueError(f"unknown dataset {cfg.dataset!r}")

@@ -200,6 +200,15 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
         self.history: list = []
+        self.metrics_path = os.path.join(self.ckpt.directory, "metrics.jsonl")
+
+    def _write_metrics(self, record: dict) -> None:
+        """Append a scalar record to metrics.jsonl (SURVEY.md §2 C18 — the
+        reference logs to console; we add a machine-readable stream)."""
+        import json
+
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def maybe_resume(self) -> int:
         step = self.ckpt.latest_step()
@@ -237,6 +246,8 @@ class Trainer:
                     f"gnorm={m['grad_norm']:.2f} ({pts / dt:,.0f} pts/s)"
                 )
                 self.history.append({"step": step, **m})
+                self._write_metrics({"kind": "train", "step": step, **m,
+                                     "points_per_sec": pts / dt})
                 window = []
                 t0 = time.perf_counter()
             if val_batches_fn is not None and step % tcfg.eval_every == 0:
@@ -256,4 +267,5 @@ class Trainer:
                 f"[dpfx] val @ step {int(self.state.step)}: "
                 + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
             )
+            self._write_metrics({"kind": "val", "step": int(self.state.step), **agg})
         return agg

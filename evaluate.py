@@ -29,7 +29,7 @@ def main(argv=None) -> int:
     import jax
 
     from dpfx.config import load_config
-    from dpfx.data import build_dataset, load_all
+    from dpfx.data import build_dataset, load_all, load_all_images
     from dpfx.metrics import evaluate_generation, evaluate_reconstruction
     from dpfx.parallel import create_mesh
     from dpfx.train import restore_for_eval
@@ -38,13 +38,16 @@ def main(argv=None) -> int:
     model, params, step = restore_for_eval(cfg, args.step)
     print(f"[dpfx] evaluating {cfg.experiment} @ step {step}")
 
-    test_ds = build_dataset(cfg.data, "test")
+    test_ds = build_dataset(cfg.data, "test", cfg.model.image_encoder.image_size)
     clouds = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit)
+    images = load_all_images(test_ds, limit=args.limit) if cfg.experiment == "svr" else None
     rng = jax.random.PRNGKey(0)
     mesh = create_mesh(cfg.parallel.axis_name)
 
     if cfg.experiment in ("ae", "svr"):
-        results = evaluate_reconstruction(model, params, clouds, cfg, rng, impl=args.impl)
+        results = evaluate_reconstruction(
+            model, params, clouds, cfg, rng, images=images, impl=args.impl
+        )
     elif cfg.experiment == "gen":
         results = evaluate_generation(model, params, clouds, cfg, rng, mesh=mesh, impl=args.impl)
     else:

@@ -23,6 +23,7 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="samples.npy")
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--png", default=None, help="also save a render montage PNG")
     args = ap.parse_args(argv)
 
     import jax
@@ -44,6 +45,11 @@ def main(argv=None) -> int:
     clouds = np.asarray(sampler(jax.random.fold_in(rng, 1)))
     dt = time.perf_counter() - t0
     np.save(args.out, clouds)
+    if args.png:
+        from dpfx.utils import save_cloud_montage
+
+        saved = save_cloud_montage(clouds, args.png)
+        print(f"[dpfx] montage -> {saved or 'skipped (no PIL)'}")
     print(
         f"[dpfx] sampled {clouds.shape} from step-{step} checkpoint in {dt*1e3:.1f}ms "
         f"({args.n_clouds / dt:,.1f} clouds/s, {args.n_clouds * n_points / dt:,.0f} pts/s) "

@@ -34,19 +34,45 @@ def main(argv=None) -> int:
     if args.resume:
         trainer.maybe_resume()
 
-    train_ds = build_dataset(cfg.data, "train")
-    val_ds = build_dataset(cfg.data, "val")
+    svr = cfg.experiment == "svr"
+    image_size = cfg.model.image_encoder.image_size
+    train_ds = build_dataset(cfg.data, "train", image_size)
+    val_ds = build_dataset(cfg.data, "val", image_size)
     print(f"[dpfx] train={len(train_ds)} val={len(val_ds)} clouds; "
-          f"N={cfg.data.n_points} batch={cfg.train.batch_size}")
+          f"N={cfg.data.n_points} batch={cfg.train.batch_size}"
+          + (f" images={image_size}px" if svr else ""))
 
-    batches = iterate_batches(
-        train_ds, cfg.train.batch_size, cfg.data.n_points, seed=cfg.train.seed
-    )
+    if cfg.data.packed_path and not svr:
+        # native C++ threaded loader over a packed cloud stack
+        from dpfx.native import NativeBatcher, native_available
+
+        if native_available():
+            # packed stacks are written from dataset[i], i.e. already carry
+            # the dataset-level normalization — never re-normalize here
+            nb = NativeBatcher(
+                cfg.data.packed_path, cfg.train.batch_size, cfg.data.n_points,
+                normalize="none",
+                seed=cfg.train.seed, n_workers=max(cfg.data.num_workers, 2),
+            )
+            print(f"[dpfx] native loader: {nb.n_items} clouds x {nb.n_stored} pts "
+                  f"from {cfg.data.packed_path}")
+            batches = iter(nb)
+        else:
+            print("[dpfx] native loader unavailable; falling back to numpy loader")
+            batches = iterate_batches(
+                train_ds, cfg.train.batch_size, cfg.data.n_points,
+                seed=cfg.train.seed, with_images=svr,
+            )
+    else:
+        batches = iterate_batches(
+            train_ds, cfg.train.batch_size, cfg.data.n_points,
+            seed=cfg.train.seed, with_images=svr,
+        )
 
     def val_batches():
         return iterate_batches(
             val_ds, cfg.eval.batch_size, cfg.data.n_points_eval,
-            seed=0, shuffle=False, epochs=1, drop_last=False,
+            seed=0, shuffle=False, epochs=1, drop_last=False, with_images=svr,
         )
 
     trainer.fit(batches, val_batches_fn=val_batches)
