@@ -113,10 +113,16 @@ class EncoderConfig:
 
 @dataclass
 class ImageEncoderConfig:
-    """SVR conv image encoder (SURVEY.md §2 C8). Backbone choice LOW conf."""
+    """SVR image encoder (SURVEY.md §2 C8). Backbone choice LOW conf;
+    `arch: mixer` is the TPU-native default (pure matmuls), `conv` is the
+    reference-style ResNet backbone."""
 
-    widths: Tuple[int, ...] = (32, 64, 128, 256)  # VERIFY-vs-reference
-    blocks_per_stage: int = 2
+    arch: str = "mixer"                            # mixer | conv
+    widths: Tuple[int, ...] = (32, 64, 128, 256)  # conv stages; VERIFY-vs-reference
+    blocks_per_stage: int = 2                      # conv
+    patch: int = 8                                 # mixer
+    width: int = 256                               # mixer
+    depth: int = 4                                 # mixer
     image_size: int = 128                          # VERIFY-vs-reference
     extra: Dict[str, Any] = field(default_factory=dict)
 

@@ -83,12 +83,21 @@ class DPF(nn.Module):
             name="encoder",
         )
         if self.config.experiment == "svr":
-            self.image_encoder = ImageEncoder(
-                dz=m.dz,
-                widths=m.image_encoder.widths,
-                blocks_per_stage=m.image_encoder.blocks_per_stage,
-                name="image_encoder",
-            )
+            ie = m.image_encoder
+            if ie.arch == "conv":
+                self.image_encoder = ImageEncoder(
+                    dz=m.dz,
+                    widths=ie.widths,
+                    blocks_per_stage=ie.blocks_per_stage,
+                    name="image_encoder",
+                )
+            else:
+                from dpfx.models.encoders import MixerImageEncoder
+
+                self.image_encoder = MixerImageEncoder(
+                    dz=m.dz, patch=ie.patch, width=ie.width, depth=ie.depth,
+                    name="image_encoder",
+                )
 
     # ---- posterior ----------------------------------------------------
 

@@ -67,7 +67,13 @@ class ResBlock(nn.Module):
         return x + h
 
 
-class ImageEncoder(nn.Module):
+class ConvImageEncoder(nn.Module):
+    """ResNet-ish conv backbone (closest to the reference's expected SVR
+    encoder, SURVEY.md §9.6). NOTE: conv *gradients* compile pathologically
+    slowly through this box's remote TPU compiler (~100s per tiny block, no
+    cross-process cache) — prefer `MixerImageEncoder` unless checkpoint
+    fidelity to a conv reference is required."""
+
     dz: int
     widths: Sequence[int] = (32, 64, 128, 256)
     blocks_per_stage: int = 2
@@ -89,3 +95,52 @@ class ImageEncoder(nn.Module):
         mu, logvar = jnp.split(out, 2, axis=-1)
         logvar = jnp.clip(logvar, -10.0, 10.0)
         return mu, logvar
+
+
+class MixerImageEncoder(nn.Module):
+    """TPU-native image encoder: non-overlapping patch embedding followed by
+    MLP-Mixer blocks (token-mix + channel-mix) — pure matmuls, so it maps
+    straight onto the MXU and compiles in seconds where conv grads take
+    minutes on this box. Fills the same q(z|view) contract as the conv
+    backbone (SURVEY.md §2 C8); default for experiment=svr."""
+
+    dz: int
+    patch: int = 8
+    width: int = 256
+    depth: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: Array) -> Tuple[Array, Array]:
+        b, h, w, c = img.shape
+        p = self.patch
+        if h % p or w % p:
+            raise ValueError(f"image size {h}x{w} not divisible by patch {p}")
+        x = img.astype(self.dtype).reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        x = nn.Dense(self.width, dtype=self.dtype, name="embed")(x)  # [B, T, W]
+        t = x.shape[1]
+        for i in range(self.depth):
+            # token mixing
+            y = nn.LayerNorm(dtype=self.dtype, name=f"ln_t_{i}")(x)
+            y = jnp.swapaxes(y, 1, 2)                                # [B, W, T]
+            y = nn.Dense(t * 2, dtype=self.dtype, name=f"tok_in_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(t, dtype=self.dtype, name=f"tok_out_{i}")(y)
+            x = x + jnp.swapaxes(y, 1, 2)
+            # channel mixing
+            y = nn.LayerNorm(dtype=self.dtype, name=f"ln_c_{i}")(x)
+            y = nn.Dense(self.width * 2, dtype=self.dtype, name=f"ch_in_{i}")(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.width, dtype=self.dtype, name=f"ch_out_{i}")(y)
+            x = x + y
+        g = jnp.mean(x, axis=1)
+        g = nn.gelu(nn.Dense(self.width, dtype=self.dtype, name="head")(g))
+        out = nn.Dense(2 * self.dz, dtype=self.dtype, name="gauss")(g)
+        out = out.astype(jnp.float32)
+        mu, logvar = jnp.split(out, 2, axis=-1)
+        return mu, jnp.clip(logvar, -10.0, 10.0)
+
+
+# default alias (kept for backwards compat in imports)
+ImageEncoder = ConvImageEncoder
