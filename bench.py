@@ -32,6 +32,7 @@ N = 2048
 
 def main() -> None:
     from dpfx.models import DPF
+    from dpfx.sampling import make_sampler
     from __graft_entry__ import _flagship_config
 
     cfg = _flagship_config()
@@ -40,9 +41,7 @@ def main() -> None:
     x_init = jnp.zeros((2, 16, 3), jnp.float32)
     params = model.init(rng, x_init, rng)
 
-    @jax.jit
-    def sample(rng):
-        return model.apply(params, rng, B, N, method=model.sample)
+    sample = make_sampler(model, params, B, N, fused=True)
 
     # compile + warm
     jax.block_until_ready(sample(rng))

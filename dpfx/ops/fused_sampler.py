@@ -1,0 +1,213 @@
+"""Fused inverse-point-flow Pallas kernel (SURVEY.md §8 step 7 — "a fused
+kernel keeping points resident in VMEM across all K layers is the
+speed-of-light play"; BASELINE.json ">10x clouds/sec/chip").
+
+Why XLA alone is not enough: the unfused sampling path streams the
+[B*N, hidden] activations through HBM for every one of the K coupling
+layers (~13 GB of traffic per 256x2048 batch) — bandwidth-bound at ~28 ms.
+This kernel keeps a tile of points and ALL stacked layer weights resident
+in VMEM and applies the K inverted couplings in one pass; HBM traffic
+drops to reading u and writing x (~12 MB).
+
+Layout: transposed [coords, points] tiles so the coupling arithmetic runs
+with points on the 128-lane axis and the conditioner matmuls are
+[H, C] x [C, T] MXU contractions. The per-cloud z-projections of every
+layer (in_z kernel @ z + in_x bias) are precomputed OUTSIDE the kernel as
+one einsum — the kernel never sees z.
+
+Semantics parity: identical math to CouplingFlow.inverse (masked affine
+coupling, tanh scale cap, gelu conditioner); tested against the flax path
+to f32 tolerance. bf16 weight/activation mode doubles MXU throughput; the
+coupling arithmetic stays f32 either way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dpfx.models.coupling import make_masks
+from dpfx.ops.chamfer import _interpret, _round_up
+
+Array = jax.Array
+
+
+class StackedFlowParams(NamedTuple):
+    """Per-layer conditioner weights stacked on a leading K axis, transposed
+    for [H, C] x [C, T] matmuls, coords padded 3->8."""
+
+    wx: Array      # [K, H, 8]
+    wz: Array      # [K, dz, H]   (used outside the kernel for hz)
+    bx: Array      # [K, H]
+    wh: Array      # [K, n_hidden-1, H, H]  (transposed: out x in)
+    bh: Array      # [K, n_hidden-1, H, 1]  (trailing singleton: 2-D in-kernel reads)
+    wout: Array    # [K, 8, H]    (rows 0-2 = s, 3-5 = t, 6-7 zero)
+    bout: Array    # [K, 8, 1]
+    masks: Array   # [K, 8, 1]    (1 = passthrough; padded rows 1)
+    scale_cap: float
+
+
+def stack_point_flow_params(params: Dict[str, Any], scale_cap: float = 8.0) -> StackedFlowParams:
+    """Extract + stack the conditional point flow's conditioner weights from
+    a DPF params tree ({'params': {'point_flow': {'coupling_k': ...}}})."""
+    tree = params["params"]["point_flow"]
+    ks = sorted((k for k in tree if k.startswith("coupling_")),
+                key=lambda s: int(s.split("_")[1]))
+    n_layers = len(ks)
+    wx, bx, wz, whs, bhs, wout, bout = [], [], [], [], [], [], []
+    for k in ks:
+        cn = tree[k]["cond_net"]
+        kin = np.asarray(cn["in_x"]["kernel"])          # [3, H]
+        h = kin.shape[1]
+        wx_k = np.zeros((h, 8), kin.dtype)
+        wx_k[:, :3] = kin.T
+        wx.append(wx_k)
+        bx.append(np.asarray(cn["in_x"]["bias"]))
+        wz.append(np.asarray(cn["in_z"]["kernel"]))      # [dz, H]
+        hidden_names = sorted((n for n in cn if n.startswith("hidden_")),
+                              key=lambda s: int(s.split("_")[1]))
+        whs.append(np.stack([np.asarray(cn[n]["kernel"]).T for n in hidden_names])
+                   if hidden_names else np.zeros((0, h, h), kin.dtype))
+        bhs.append(np.stack([np.asarray(cn[n]["bias"]) for n in hidden_names])
+                   if hidden_names else np.zeros((0, h), kin.dtype))
+        ko = np.asarray(cn["out"]["kernel"])             # [H, 6]
+        wo = np.zeros((8, h), ko.dtype)
+        wo[:6, :] = ko.T
+        wout.append(wo)
+        bo = np.zeros((8,), ko.dtype)
+        bo[:6] = np.asarray(cn["out"]["bias"])
+        bout.append(bo)
+    masks3 = make_masks(3, n_layers)                     # [K, 3], 1 = passthrough
+    masks = np.ones((n_layers, 8), np.float32)
+    masks[:, :3] = masks3
+    return StackedFlowParams(
+        wx=jnp.asarray(np.stack(wx)),
+        wz=jnp.asarray(np.stack(wz)),
+        bx=jnp.asarray(np.stack(bx)),
+        wh=jnp.asarray(np.stack(whs)),
+        bh=jnp.asarray(np.stack(bhs))[..., None],
+        wout=jnp.asarray(np.stack(wout)),
+        bout=jnp.asarray(np.stack(bout))[..., None],
+        masks=jnp.asarray(masks)[..., None],
+        scale_cap=float(scale_cap),
+    )
+
+
+def _fused_inverse_kernel(
+    hz_ref, u_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref, x_ref,
+    *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
+):
+    """One (cloud, point-tile) grid step: apply all K inverted couplings.
+
+    Mosaic discipline: every dynamic-layer read returns a 2-D [C, 1] or
+    [C, H] block (bias/mask arrays carry a trailing singleton), and the
+    coupling update works on the full [8, T] tile — the t-offset (rows 3-5
+    of the conditioner output must align with coordinate rows 0-2) is
+    handled with pltpu.roll, so there is no sublane slice/concat anywhere."""
+    x = u_ref[0].astype(jnp.float32)  # [8, T]; rows 3..7 are zero padding
+
+    def layer(i, x):
+        k = n_layers - 1 - i  # inverse order
+        mask = masks_ref[k]                             # [8, 1]; padded rows 1
+        xm = (x * mask).astype(dtype)
+        wxk = wx_ref[k].astype(dtype)                   # [H, 8]
+        h = jax.lax.dot_general(
+            wxk, xm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [H, T]
+        h = h + hz_ref[0, k]                            # + (Wz z + bx): [H, 1]
+        h = jax.nn.gelu(h).astype(dtype)
+
+        def hidden(j, h):
+            whj = wh_ref[k, j].astype(dtype)            # [H, H]
+            hh = jax.lax.dot_general(
+                whj, h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bh_ref[k, j]                             # [H, 1]
+            return jax.nn.gelu(hh).astype(dtype)
+
+        h = jax.lax.fori_loop(0, n_hidden_m1, hidden, h, unroll=True)
+
+        wo = wout_ref[k].astype(dtype)                  # [8, H]
+        st = jax.lax.dot_general(
+            wo, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bout_ref[k]                                  # [8, T] f32; rows 0-2 = s, 3-5 = t
+        s = cap * jnp.tanh(st / cap)                     # rows beyond s unused
+        tt = pltpu.roll(st, shift=5, axis=0)             # 8-row roll: row 3 -> row 0 (t rows align with coords)
+        # padded/passthrough rows have mask 1 -> untouched
+        return jnp.where(mask > 0, x, (x - tt) * jnp.exp(-s))
+
+    x = jax.lax.fori_loop(0, n_layers, layer, x, unroll=False)
+    x_ref[0] = x
+
+
+def fused_point_flow_inverse(
+    sp: StackedFlowParams,
+    u: Array,
+    z: Array,
+    tile: int = 2048,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> Array:
+    """u: [B, N, 3] base noise, z: [B, dz] -> x: [B, N, 3].
+
+    Equivalent to CouplingFlow.inverse(u, z)[0] for the stacked params."""
+    b, n, _ = u.shape
+    k, h, _ = sp.wx.shape
+    n_hidden_m1 = sp.wh.shape[1]
+    n_pad = _round_up(n, tile)
+    nt = n_pad // tile
+
+    # per-cloud, per-layer z-projection (+ in_x bias), computed once in XLA
+    hz = jnp.einsum("bd,kdh->bkh", z.astype(sp.wz.dtype), sp.wz) + sp.bx  # [B,K,H]
+    hz = hz.astype(jnp.float32)[..., None]               # [B, K, H, 1]
+
+    # transposed + padded noise: [B, 8, Np], rows 3..7 zero
+    ut = jnp.zeros((b, 8, n_pad), jnp.float32)
+    ut = ut.at[:, :3, :n].set(jnp.swapaxes(u, 1, 2).astype(jnp.float32))
+
+    kernel = functools.partial(
+        _fused_inverse_kernel,
+        n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap,
+        dtype=dtype,
+    )
+    full = lambda *idx: tuple(0 for _ in idx)  # whole-array weight blocks
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, k, h, 1), lambda b_, i: (b_, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda b_, i: (b_, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, h, 8), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, max(n_hidden_m1, 1), h, h), lambda b_, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, max(n_hidden_m1, 1), h, 1), lambda b_, i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8, h), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8, 1), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8, 1), lambda b_, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, tile), lambda b_, i: (b_, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
+        interpret=_interpret(),
+    )(
+        hz, ut,
+        sp.wx, _ensure_nonempty(sp.wh, (k, 1, h, h)),
+        _ensure_nonempty(sp.bh, (k, 1, h, 1)),
+        sp.wout, sp.bout, sp.masks,
+    )
+    return jnp.swapaxes(out[:, :3, :n], 1, 2)
+
+
+def _ensure_nonempty(a: Array, shape) -> Array:
+    """n_hidden == 1 stacks are zero-size; give the kernel a dummy block."""
+    if a.size == 0:
+        return jnp.zeros(shape, a.dtype)
+    return a
