@@ -1,0 +1,73 @@
+"""Tracing / profiling harness (SURVEY.md §5 tracing bullet: the reference
+has none; the build ships a jax.profiler trace + block_until_ready timing
+harness around the sampling path, the north-star throughput metric)."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    reps: int = 10,
+    warmup: int = 1,
+    materialize: bool = False,
+) -> Dict[str, float]:
+    """Steady-state timing of a jitted fn. Chains `reps` dependent calls and
+    blocks once (device-side pipelining preserved); ``materialize=True``
+    instead fetches each result to host — use it on this box's tunneled TPU
+    where per-call block_until_ready can return optimistically (see
+    BASELINE.md note on ~20 ms dispatch overhead)."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    if materialize:
+        for _ in range(reps):
+            np.asarray(jax.tree.leaves(fn(*args))[0])
+    else:
+        outs = [fn(*args) for _ in range(reps)]
+        jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
+    return {"mean_s": dt, "per_sec": 1.0 / dt}
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/dpfx_trace"):
+    """jax.profiler trace context; view with tensorboard/xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def profile_sampling(cfg=None, n_clouds: int = 256, n_points: int = 2048,
+                     trace_dir: Optional[str] = None) -> Dict[str, float]:
+    """Timing (and optional trace) of the fused + XLA sampling paths."""
+    import jax.numpy as jnp
+
+    from dpfx.models import DPF
+    from dpfx.sampling import make_sampler
+
+    if cfg is None:
+        from __graft_entry__ import _flagship_config
+
+        cfg = _flagship_config()
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((2, 16, 3)), rng)
+    out = {}
+    for name, fused in (("fused", True), ("xla", False)):
+        fn = make_sampler(model, params, n_clouds, n_points, fused=fused)
+        ctx = trace(trace_dir) if trace_dir else contextlib.nullcontext()
+        with ctx:
+            t = time_fn(fn, rng, reps=10)
+        out[f"{name}_points_per_sec"] = n_clouds * n_points * t["per_sec"]
+        out[f"{name}_ms"] = t["mean_s"] * 1e3
+    return out
