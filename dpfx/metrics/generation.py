@@ -68,7 +68,10 @@ def pairwise_matrix(
     xs_p = _pad_rows(xs, chunk)
 
     kernel = lambda a, b: fn(a, b, impl)
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
+        # row-shard the matrix over the mesh; single-device meshes take the
+        # plain jit path (the axon single-chip backend runs sharding-
+        # annotated programs ~50x slower)
         kernel = jax.jit(
             kernel,
             in_shardings=(NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())),

@@ -159,18 +159,34 @@ def fused_point_flow_inverse(
 
     Equivalent to CouplingFlow.inverse(u, z)[0] for the stacked params."""
     b, n, _ = u.shape
+    n_pad = _round_up(n, tile)
+    # transposed + padded noise: [B, 8, Np], rows 3..7 zero
+    ut = jnp.zeros((b, 8, n_pad), jnp.float32)
+    ut = ut.at[:, :3, :n].set(jnp.swapaxes(u, 1, 2).astype(jnp.float32))
+    out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype)
+    return jnp.swapaxes(out[:, :3, :n], 1, 2)
+
+
+def fused_inverse_transposed(
+    sp: StackedFlowParams,
+    ut: Array,
+    z: Array,
+    tile: int = 2048,
+    dtype: jnp.dtype = jnp.bfloat16,
+) -> Array:
+    """Transposed-layout entry: ut [B, 8, Np] (coords in rows 0-2, rows 3+
+    zero) -> x [B, 8, Np]. Samplers generate noise directly in this layout —
+    XLA's RNG into a [B, N, 3] array is lane-padding-bound (~78 ms for
+    256x2048x3 standalone vs 0.6 ms transposed; see BASELINE.md)."""
+    b, _, n_pad = ut.shape
     k, h, _ = sp.wx.shape
     n_hidden_m1 = sp.wh.shape[1]
-    n_pad = _round_up(n, tile)
+    assert n_pad % tile == 0
     nt = n_pad // tile
 
     # per-cloud, per-layer z-projection (+ in_x bias), computed once in XLA
     hz = jnp.einsum("bd,kdh->bkh", z.astype(sp.wz.dtype), sp.wz) + sp.bx  # [B,K,H]
     hz = hz.astype(jnp.float32)[..., None]               # [B, K, H, 1]
-
-    # transposed + padded noise: [B, 8, Np], rows 3..7 zero
-    ut = jnp.zeros((b, 8, n_pad), jnp.float32)
-    ut = ut.at[:, :3, :n].set(jnp.swapaxes(u, 1, 2).astype(jnp.float32))
 
     kernel = functools.partial(
         _fused_inverse_kernel,
@@ -203,7 +219,7 @@ def fused_point_flow_inverse(
         _ensure_nonempty(sp.bh, (k, 1, h, 1)),
         sp.wout, sp.bout, sp.masks,
     )
-    return jnp.swapaxes(out[:, :3, :n], 1, 2)
+    return out
 
 
 def _ensure_nonempty(a: Array, shape) -> Array:

@@ -21,8 +21,23 @@ import jax
 import jax.numpy as jnp
 
 from dpfx.models import DPF
-from dpfx.ops.fused_sampler import fused_point_flow_inverse, stack_point_flow_params
+from dpfx.ops.fused_sampler import (
+    fused_inverse_transposed,
+    fused_point_flow_inverse,
+    stack_point_flow_params,
+)
 from dpfx.ops.chamfer import _round_up
+
+
+def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype):
+    """Generate base noise directly in the kernel's [B, 8, Npad] layout
+    (RNG into [B, N, 3] is lane-padding-bound: ~78 ms vs 0.6 ms for the
+    256x2048 batch) and run the fused inverse."""
+    n_pad = _round_up(n_points, tile)
+    un = jax.random.normal(rng, (n_clouds, 3, n_pad))
+    ut = jnp.zeros((n_clouds, 8, n_pad), jnp.float32).at[:, :3, :].set(un)
+    out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype)
+    return jnp.swapaxes(out[:, :3, :n_points], 1, 2)
 
 
 def make_sampler(
@@ -42,8 +57,7 @@ def make_sampler(
             z, _ = model.apply(
                 params, eps, method=lambda m, e: m.latent_flow.inverse(e)
             )
-            u = jax.random.normal(ku, (n_clouds, n_points, 3))
-            return fused_point_flow_inverse(sp, u, z, tile=tile, dtype=dtype)
+            return _fused_noise_and_inverse(sp, z, ku, n_clouds, n_points, tile, dtype)
 
         return jax.jit(sample)
 
@@ -62,8 +76,9 @@ def make_decoder(model: DPF, params, n_points: int, fused: bool = True) -> Calla
         tile = min(2048, _round_up(n_points, 128))
 
         def decode(z, rng):
-            u = jax.random.normal(rng, (z.shape[0], n_points, 3))
-            return fused_point_flow_inverse(sp, u, z, tile=tile, dtype=dtype)
+            return _fused_noise_and_inverse(
+                sp, z, rng, z.shape[0], n_points, tile, dtype
+            )
 
         return jax.jit(decode)
 

@@ -104,7 +104,11 @@ def make_train_step(
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
 
-    if mesh is None:
+    # single-device meshes take the plain jit path: sharding annotations are
+    # a no-op semantically but the experimental axon (single-chip TPU)
+    # backend executes them through a ~50x slower path (measured 1770 ms vs
+    # 33 ms per flagship step)
+    if mesh is None or mesh.devices.size == 1:
         return jax.jit(step_fn, donate_argnums=0)
 
     repl = NamedSharding(mesh, P())
@@ -132,7 +136,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
         )
         return metrics
 
-    if mesh is None:
+    if mesh is None or mesh.devices.size == 1:
         return jax.jit(eval_fn)
     repl = NamedSharding(mesh, P())
     bsh = NamedSharding(mesh, P(cfg.parallel.axis_name))
