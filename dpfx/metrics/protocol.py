@@ -36,9 +36,15 @@ def evaluate_reconstruction(
     use_emd = "emd" in cfg.eval.metrics
     n_iters = cfg.eval.emd_iters
 
+    from dpfx.sampling import make_decoder
+
+    decode = make_decoder(model, params, clouds.shape[1])
+
     @jax.jit
     def recon_batch(xb, rngb, imgb=None):
-        rec = model.apply(params, xb, rngb, image=imgb, method=model.reconstruct)
+        # encode -> posterior mean -> fused inverse-flow decode (SURVEY §3.4)
+        mu, _ = model.apply(params, xb, imgb, method=model.posterior)
+        rec = decode(mu, rngb)
         cd = chamfer(rec, xb, impl)
         e = emd_nograd(rec, xb, impl, n_iters) if use_emd else jnp.zeros_like(cd)
         return cd, e
@@ -68,11 +74,10 @@ def evaluate_generation(
     sample_batch: int = 64,
 ) -> Dict[str, float]:
     """Generation suite: |gen| = |ref| clouds of the ref's point count."""
-    s, n = ref_clouds.shape[0], ref_clouds.shape[1]
+    from dpfx.sampling import make_sampler
 
-    @jax.jit
-    def sample_batch_fn(rngb):
-        return model.apply(params, rngb, sample_batch, n, method=model.sample)
+    s, n = ref_clouds.shape[0], ref_clouds.shape[1]
+    sample_batch_fn = make_sampler(model, params, sample_batch, n)
 
     outs = []
     for i in range(0, s, sample_batch):

@@ -1,0 +1,114 @@
+"""Dataset-loader tests for the on-disk formats (SURVEY.md §2 C2/C3):
+generated HDF5 / PointFlow-style npy trees / render pairs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dpfx.config import config_from_dict
+from dpfx.data import (
+    ShapeNetH5,
+    ShapeNetNpyDir,
+    build_dataset,
+    render_cloud,
+)
+
+
+@pytest.fixture(scope="module")
+def h5_file(tmp_path_factory):
+    import h5py
+
+    path = str(tmp_path_factory.mktemp("h5") / "clouds.h5")
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        for split, s in (("train", 12), ("val", 4), ("test", 4)):
+            f.create_dataset(split, data=rng.normal(size=(s, 64, 3)).astype(np.float32))
+        f.create_dataset("train_labels", data=np.arange(12) % 3)
+    return path
+
+
+@pytest.fixture(scope="module")
+def npy_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pc15k")
+    rng = np.random.default_rng(1)
+    for syn in ("02691156", "03001627"):  # airplane, chair
+        for split, s in (("train", 6), ("test", 3)):
+            d = root / syn / split
+            d.mkdir(parents=True)
+            for i in range(s):
+                np.save(d / f"model{i}.npy", rng.normal(size=(100, 3)).astype(np.float32))
+    return str(root)
+
+
+def test_h5_loading_and_normalization(h5_file):
+    ds = ShapeNetH5(h5_file, split="train", normalize="per_shape")
+    assert len(ds) == 12
+    x = ds[0]
+    assert x.shape == (64, 3) and x.dtype == np.float32
+    np.testing.assert_allclose(x.mean(axis=0), 0, atol=1e-5)
+    assert np.linalg.norm(x, axis=1).max() <= 1 + 1e-5
+    assert ds.label(0) == 0 and ds.label(1) == 1
+
+    with pytest.raises(KeyError):
+        ShapeNetH5(h5_file, split="nope")
+
+
+def test_npy_dir_categories(npy_tree):
+    air = ShapeNetNpyDir(npy_tree, split="train", category="airplane")
+    assert len(air) == 6
+    both = ShapeNetNpyDir(npy_tree, split="train", category="all")
+    assert len(both) == 12
+    assert both[0].shape == (100, 3)
+    labels = {both.label(i) for i in range(len(both))}
+    assert len(labels) == 2
+
+    with pytest.raises(FileNotFoundError):
+        ShapeNetNpyDir(npy_tree, split="train", category="car")
+
+
+def test_build_dataset_dispatch(h5_file, npy_tree):
+    cfg = config_from_dict({"data": {"dataset": "shapenet_h5", "path": h5_file}}).data
+    assert len(build_dataset(cfg, "test")) == 4
+    cfg = config_from_dict(
+        {"data": {"dataset": "shapenet_npy_dir", "path": npy_tree, "category": "chair"}}
+    ).data
+    assert len(build_dataset(cfg, "train")) == 6
+    with pytest.raises(ValueError):
+        build_dataset(config_from_dict({"data": {"dataset": "bogus"}}).data, "train")
+
+
+def test_render_cloud_depth_shading():
+    rng = np.random.default_rng(2)
+    cloud = rng.normal(size=(500, 3)).astype(np.float32)
+    img = render_cloud(cloud, size=32, view=3)
+    assert img.shape == (32, 32, 3)
+    assert img.max() > 0.1 and img.min() == 0.0
+    # deterministic
+    np.testing.assert_array_equal(img, render_cloud(cloud, size=32, view=3))
+    # different view -> different image
+    assert not np.array_equal(img, render_cloud(cloud, size=32, view=0))
+
+
+def test_shapenet_render_dataset(tmp_path, npy_tree):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from dpfx.data import ShapeNetRenderDataset
+
+    render_root = tmp_path / "renders"
+    syn = "02691156"
+    for i in range(6):
+        d = render_root / syn / f"model{i}" / "rendering"
+        d.mkdir(parents=True)
+        arr = (np.random.default_rng(i).uniform(0, 255, (137, 137, 3))).astype(np.uint8)
+        for v in range(2):
+            Image.fromarray(arr).save(d / f"{v:02d}.png")
+    ds = ShapeNetRenderDataset(
+        npy_tree, str(render_root), split="train", category="airplane",
+        image_size=64, views_per_model=2,
+    )
+    assert len(ds) == 6
+    assert ds[0].shape == (100, 3)
+    img = ds.image(0)
+    assert img.shape == (64, 64, 3) and 0 <= img.min() and img.max() <= 1.0
