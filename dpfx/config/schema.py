@@ -162,6 +162,8 @@ class DataConfig:
 class TrainConfig:
     batch_size: int = 32
     steps: int = 10_000
+    epochs: int = 0              # reference-style epoch count; when > 0 the
+    #                              CLI derives steps = epochs * len(train)/B
     lr: float = 1e-3             # VERIFY-vs-reference
     lr_schedule: str = "cosine"  # cosine | constant | step
     lr_decay_steps: int = 0      # 0 -> use `steps`

@@ -24,7 +24,7 @@ VERIFY-vs-reference which one the reference eval uses (SURVEY.md §9.5).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

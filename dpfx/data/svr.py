@@ -16,7 +16,7 @@ exact pairing layout is unverified (SURVEY.md §9.6). Two datasets:
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

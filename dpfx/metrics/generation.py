@@ -20,7 +20,7 @@ long-context bullet) — each device computes its row block, XLA all-gathers.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ mount, SURVEY.md §0/§9.3).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from dpfx.models import DPF
 from dpfx.ops.fused_sampler import (
     fused_inverse_transposed,
-    fused_point_flow_inverse,
     stack_point_flow_params,
 )
 from dpfx.ops.chamfer import _round_up

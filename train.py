@@ -28,6 +28,12 @@ def main(argv=None) -> int:
     from dpfx.data import build_dataset, iterate_batches
     from dpfx.train import Trainer
 
+    if cfg.train.epochs > 0:
+        # reference-style epoch accounting (SURVEY.md §3.1): derive steps
+        probe_ds = build_dataset(cfg.data, "train", cfg.model.image_encoder.image_size)
+        cfg.train.steps = cfg.train.epochs * max(len(probe_ds) // cfg.train.batch_size, 1)
+        print(f"[dpfx] epochs={cfg.train.epochs} -> steps={cfg.train.steps}")
+
     trainer = Trainer(cfg)
     print(f"[dpfx] experiment={cfg.experiment} name={cfg.name} "
           f"devices={len(trainer.mesh.devices.flatten())} mesh={trainer.mesh.shape}")
