@@ -169,7 +169,8 @@ class TrainConfig:
     lr_decay_steps: int = 0      # 0 -> use `steps`
     lr_min_ratio: float = 0.01
     weight_decay: float = 0.0
-    grad_clip: float = 0.0       # 0 disables
+    grad_clip: float = 10.0      # 0 disables; flows blow up without it
+    #                              (gnorm ~8k observed; VERIFY-vs-reference)
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     ckpt_every: int = 1000

@@ -118,17 +118,25 @@ def emd_grads_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS):
 
 def _emd_kernel_body(
     x_ref, y_ref, scratches, *, n: int, m: int, tn: int, n_pad: int, m_pad: int,
-    n_iters: int, with_grad: bool,
+    n_iters: int, with_grad: bool, exact: bool = True,
 ):
     """Shared per-pair body. Returns nothing; results land in scratches:
     cost (1,1), and gx/gy accumulators when with_grad.
 
-    Two tile passes per annealing level (rowsum is complete within a row
-    tile because every tile spans all M columns, so pass 1 also accumulates
-    the column sums); the level loop is a fori_loop with the level computed
-    from the iteration index — unrolling 10 levels made Mosaic compile for
-    minutes."""
-    (remainl, remainr, rowsum, colsum, cost, gx, gy) = scratches
+    One full tile pass per annealing level: a tile spans all M columns, so
+    per-row sums are complete within pass 1, which also accumulates the
+    global column sums of ss AND the per-column cost integrals
+    sum_i ss*dist, and caches w in bf16. After the ratio is known the cost
+    and remainr updates are closed-form reductions, and the remainl update
+    is a per-tile MXU matvec over the cached w (rowdelta_i =
+    (remainl_i/rowsum_i) * (w @ ratio^T)_i) — no second elementwise pass.
+    The gradient path still needs a post-ratio pass (it reads the cached w
+    instead of recomputing exp). bf16 w introduces ~1e-3 relative error in
+    remainl only — within the approxmatch fp-chaos tolerance the parity
+    tests already allow. The level loop is a fori_loop with the level
+    computed from the iteration index — unrolling 10 levels made Mosaic
+    compile for minutes."""
+    (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy) = scratches
     nt = n_pad // tn
     factorl = float(max(n, m) / n)
     factorr = float(max(n, m) / m)
@@ -158,45 +166,64 @@ def _emd_kernel_body(
         j = (n_iters - 3 - it).astype(jnp.float32)
         level = jnp.where(it == n_iters - 1, 0.0, -jnp.exp2(2.0 * j))
 
-        # pass 1: per-tile rowsums (complete: a tile spans all M columns)
-        # + accumulate global column sums of ss
+        # single full pass: rowsum, colsum(ss), cost integrals (+ w cache in
+        # fast mode)
         def p1(i, _):
             _, d = d_tile(i)
             w = jnp.exp(level * d) * remainr[:]
+            if not exact:
+                wcache[pl.ds(i * tn, tn), :] = w.astype(jnp.bfloat16)
             rs = jnp.sum(w, axis=1, keepdims=True)
             rowsum[pl.ds(i * tn, tn), :] = rs
             ss = w / (rs + _EPS) * remainl[pl.ds(i * tn, tn), :]
             colsum[:] = colsum[:] + jnp.sum(ss, axis=0, keepdims=True)
+            cdist[:] = cdist[:] + jnp.sum(ss * jnp.sqrt(d), axis=0, keepdims=True)
             return 0
 
         colsum[:] = jnp.zeros_like(colsum)
+        cdist[:] = jnp.zeros_like(cdist)
         jax.lax.fori_loop(0, nt, p1, 0, unroll=False)
 
         ratio = jnp.minimum(remainr[:] / (colsum[:] + _EPS), 1.0)  # [1, Mp]
+        cost[0, 0] += jnp.sum(ratio * cdist[:])
 
-        # pass 2: apply delta = ss * ratio; accumulate cost (+ grads)
-        def p2(i, _):
-            xt, d = d_tile(i)
-            w = jnp.exp(level * d) * remainr[:]
-            ss = w / (rowsum[pl.ds(i * tn, tn), :] + _EPS) * remainl[pl.ds(i * tn, tn), :]
-            delta = ss * ratio
-            dist = jnp.sqrt(d)
-            cost[0, 0] += jnp.sum(delta * dist)
-            remainl[pl.ds(i * tn, tn), :] = jnp.maximum(
-                remainl[pl.ds(i * tn, tn), :] - jnp.sum(delta, axis=1, keepdims=True), 0.0
-            )
-            if with_grad:
-                # d cost/d x_i += sum_j delta (x_i - y_j)/dist
-                k = delta / jnp.maximum(dist, _EPS)              # [TN, Mp]
-                krow = jnp.sum(k, axis=1, keepdims=True)          # [TN, 1]
-                ky = jnp.dot(k, y, preferred_element_type=jnp.float32)  # [TN, 8]
-                gx[pl.ds(i * tn, tn), :] += xt * krow - ky
-                kcol = jnp.sum(k, axis=0, keepdims=True)          # [1, Mp]
-                kx = jnp.dot(k.T, xt, preferred_element_type=jnp.float32)  # [Mp, 8]
-                gy[:] += y * kcol.T - kx
-            return 0
+        if not with_grad and not exact:
+            # fast: remainl -= rowdelta via per-tile matvec over the cached
+            # bf16 w (the only quantity touched by bf16; ~1e-3 rel drift)
+            def p2(i, _):
+                sl = pl.ds(i * tn, tn)
+                wt = wcache[sl, :].astype(jnp.float32)  # [TN, Mp]
+                wr = jnp.dot(wt, ratio[:].T, preferred_element_type=jnp.float32)
+                rowdelta = wr / (rowsum[sl, :] + _EPS) * remainl[sl, :]
+                remainl[sl, :] = jnp.maximum(remainl[sl, :] - rowdelta, 0.0)
+                return 0
 
-        jax.lax.fori_loop(0, nt, p2, 0, unroll=False)
+            jax.lax.fori_loop(0, nt, p2, 0, unroll=False)
+        else:
+            # exact / gradient pass: recompute w (f32), apply delta
+            def p2g(i, _):
+                xt, d = d_tile(i)
+                sl = pl.ds(i * tn, tn)
+                w = jnp.exp(level * d) * remainr[:]
+                ss = w / (rowsum[sl, :] + _EPS) * remainl[sl, :]
+                delta = ss * ratio
+                remainl[sl, :] = jnp.maximum(
+                    remainl[sl, :] - jnp.sum(delta, axis=1, keepdims=True), 0.0
+                )
+                if with_grad:
+                    dist = jnp.sqrt(d)
+                    # d cost/d x_i += sum_j delta (x_i - y_j)/dist
+                    k = delta / jnp.maximum(dist, _EPS)              # [TN, Mp]
+                    krow = jnp.sum(k, axis=1, keepdims=True)          # [TN, 1]
+                    ky = jnp.dot(k, y, preferred_element_type=jnp.float32)
+                    gx[sl, :] += xt * krow - ky
+                    kcol = jnp.sum(k, axis=0, keepdims=True)          # [1, Mp]
+                    kx = jnp.dot(k.T, xt, preferred_element_type=jnp.float32)
+                    gy[:] += y * kcol.T - kx
+                return 0
+
+            jax.lax.fori_loop(0, nt, p2g, 0, unroll=False)
+
         remainr[:] = jnp.maximum(remainr[:] - colsum[:] * ratio, 0.0)
         return 0
 
@@ -204,23 +231,31 @@ def _emd_kernel_body(
 
 
 def _emd_pallas_batched(
-    xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int, with_grad: bool
+    xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int, with_grad: bool,
+    exact: bool = True,
 ):
     """Diagonal pairs. xp [B, Np, 8], yp [B, Mp, 8] ->
     cost [B] (/n applied by caller) and optionally (gx [B,Np,8], gy [B,Mp,8])."""
     b, n_pad, _ = xp.shape
     m_pad = yp.shape[1]
+    use_cache = not exact and not with_grad
 
     def kernel(x_ref, y_ref, cost_ref, *rest):
+        rest = list(rest)
+        gx_ref = gy_ref = gx = gy = wcache = None
         if with_grad:
-            gx_ref, gy_ref, remainl, remainr, rowsum, colsum, cost, gx, gy = rest
-        else:
-            remainl, remainr, rowsum, colsum, cost = rest
-            gx = gy = None
+            gx_ref, gy_ref = rest.pop(0), rest.pop(0)
+        remainl, remainr, rowsum, colsum, cdist, cost = rest[:6]
+        rest = rest[6:]
+        if use_cache:
+            wcache = rest.pop(0)
+        if with_grad:
+            gx, gy = rest.pop(0), rest.pop(0)
         _emd_kernel_body(
-            x_ref, y_ref, (remainl, remainr, rowsum, colsum, cost, gx, gy),
+            x_ref, y_ref,
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
-            n_iters=n_iters, with_grad=with_grad,
+            n_iters=n_iters, with_grad=with_grad, exact=not use_cache,
         )
         # scalar cost goes out as a broadcast 128-lane row (Mosaic's trailing
         # block dims must be (>=8, >=128) or equal the array dims)
@@ -245,8 +280,11 @@ def _emd_pallas_batched(
         pltpu.VMEM((1, m_pad), jnp.float32),   # remainr
         pltpu.VMEM((n_pad, 1), jnp.float32),   # rowsum
         pltpu.VMEM((1, m_pad), jnp.float32),   # colsum
+        pltpu.VMEM((1, m_pad), jnp.float32),   # cdist (per-col cost integral)
         pltpu.SMEM((1, 1), jnp.float32),       # cost (scalar: SMEM only)
     ]
+    if use_cache:
+        scratch.append(pltpu.VMEM((n_pad, m_pad), jnp.bfloat16))  # w cache
     if with_grad:
         scratch += [
             pltpu.VMEM((n_pad, 8), jnp.float32),
@@ -269,22 +307,31 @@ def _emd_pallas_batched(
     return out[0][:, 0, 0]
 
 
-def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int):
+def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
+                         n_iters: int, exact: bool = False):
     """Full pairwise EMD-cost matrix [S1, S2] (cost, caller divides by n).
 
-    Output layout [S1, 1, S2_pad]: one revisited row block per left cloud,
-    filled via a lane-masked VMEM row scratch (same scheme as
+    Defaults to the fast (bf16 w-cache) variant — this is the O(S^2) eval
+    hot loop and the ~1e-3 drift is within approxmatch's cross-backend
+    variance. Output layout [S1, 1, S2_pad]: one revisited row block per
+    left cloud, filled via a lane-masked VMEM row scratch (same scheme as
     chamfer._cd_pallas_pairwise)."""
     s1, n_pad, _ = xp.shape
     s2, m_pad = yp.shape[0], yp.shape[1]
     s2_pad = _round_up(s2, 128)
 
-    def kernel(x_ref, y_ref, cost_ref, remainl, remainr, rowsum, colsum, cost, costrow):
+    def kernel(x_ref, y_ref, cost_ref, *rest):
+        rest = list(rest)
+        remainl, remainr, rowsum, colsum, cdist, cost = rest[:6]
+        rest = rest[6:]
+        wcache = rest.pop(0) if not exact else None
+        costrow = rest.pop(0)
         b_ = pl.program_id(1)
         _emd_kernel_body(
-            x_ref, y_ref, (remainl, remainr, rowsum, colsum, cost, None, None),
+            x_ref, y_ref,
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None, None),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
-            n_iters=n_iters, with_grad=False,
+            n_iters=n_iters, with_grad=False, exact=exact,
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
         base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), costrow[:])
@@ -307,9 +354,11 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int, n_iters:
             pltpu.VMEM((1, m_pad), jnp.float32),
             pltpu.VMEM((n_pad, 1), jnp.float32),
             pltpu.VMEM((1, m_pad), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),  # cost (scalar: SMEM only)
-            pltpu.VMEM((1, s2_pad), jnp.float32),
-        ],
+            pltpu.VMEM((1, m_pad), jnp.float32),       # cdist
+            pltpu.SMEM((1, 1), jnp.float32),            # cost (scalar: SMEM only)
+        ]
+        + ([] if exact else [pltpu.VMEM((n_pad, m_pad), jnp.bfloat16)])
+        + [pltpu.VMEM((1, s2_pad), jnp.float32)],
         interpret=_interpret(),
     )(xp, yp)
     return out[:, 0, :s2]
@@ -374,10 +423,15 @@ def emd_nograd(x: Array, y: Array, impl: str = "auto", n_iters: int = _DEFAULT_I
 
 
 def emd_pairwise(
-    xs: Array, ys: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS
+    xs: Array, ys: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS,
+    precision: str = "fast",
 ) -> Array:
     """Full pairwise EMD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2]
-    (SURVEY.md §3.3 eval hot loop)."""
+    (SURVEY.md §3.3 eval hot loop).
+
+    precision="fast" (default) uses the bf16 w-cache single-pass kernel
+    (~1e-3 relative drift, inside approxmatch's cross-backend variance);
+    "exact" recomputes w in f32 like the batched/training path."""
     if impl == "auto":
         impl = "pallas"
     n = xs.shape[-2]
@@ -386,4 +440,4 @@ def emd_pairwise(
             return jax.lax.map(lambda yj: emd_jnp(xi, yj, n_iters), ys)
         return jax.lax.map(row, xs)
     xp, yp, n, m, tn = _prep(xs, ys)
-    return _emd_pallas_pairwise(xp, yp, n, m, tn, n_iters) / n
+    return _emd_pallas_pairwise(xp, yp, n, m, tn, n_iters, exact=precision == "exact") / n

@@ -112,7 +112,11 @@ def test_emd_grad_direction_reduces_cost():
 def test_emd_pairwise_matches_diag():
     xs, _ = clouds(6, 3, 40, 40)
     ys, _ = clouds(7, 2, 40, 40)
-    m_p = np.asarray(emd_pairwise(xs, ys, impl="pallas"))
     m_j = np.asarray(emd_pairwise(xs, ys, impl="jnp"))
-    assert m_p.shape == (3, 2)
-    np.testing.assert_allclose(m_p, m_j, rtol=1e-3, atol=1e-4)
+    # exact pallas: fp-chaos tolerance only
+    m_e = np.asarray(emd_pairwise(xs, ys, impl="pallas", precision="exact"))
+    assert m_e.shape == (3, 2)
+    np.testing.assert_allclose(m_e, m_j, rtol=1e-3, atol=1e-4)
+    # fast pallas (bf16 w-cache): documented ~1e-3 relative drift budget
+    m_f = np.asarray(emd_pairwise(xs, ys, impl="pallas", precision="fast"))
+    np.testing.assert_allclose(m_f, m_j, rtol=7e-3, atol=5e-4)
