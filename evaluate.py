@@ -24,6 +24,7 @@ def main(argv=None) -> int:
     ap.add_argument("--step", type=int, default=None, help="checkpoint step (default: latest)")
     ap.add_argument("--limit", type=int, default=None, help="cap test-set size")
     ap.add_argument("--impl", default="auto", choices=["auto", "pallas", "jnp"])
+    ap.add_argument("--out", default=None, help="append the results JSON to this file")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,7 +54,11 @@ def main(argv=None) -> int:
     else:
         raise ValueError(f"unknown experiment {cfg.experiment!r}")
 
-    print(json.dumps({"step": step, "n_test": int(clouds.shape[0]), **results}))
+    line = json.dumps({"step": step, "n_test": int(clouds.shape[0]), **results})
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
     return 0
 
 
