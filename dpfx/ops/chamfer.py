@@ -255,53 +255,56 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
 
     def kernel(x_ref, y_ref, cd_ref, colmin, rowacc, cdrow):
         b_ = pl.program_id(1)
-        i = pl.program_id(2)
-
-        @pl.when(i == 0)
-        def _():
-            colmin[:] = jnp.full_like(colmin, _BIG)
-            rowacc[0, 0] = 0.0
-
         y = y_ref[0]
-        y2 = jnp.sum(y * y, axis=-1, keepdims=True).T
-        d = _sq_tile(x_ref[0, pl.ds(i * tn, tn), :], y, y2)  # [TN, Mp]
+        y2 = jnp.sum(y * y, axis=-1, keepdims=True).T  # hoisted out of the tile loop
 
-        # masking only exists when the cloud sizes needed padding (the
-        # aligned 2048-point case skips all of it — it is VPU-bound)
+        colmin[:] = jnp.full_like(colmin, _BIG)
+        rowacc[0, 0] = 0.0
+
+        # the row-tile loop lives in-kernel (not a grid axis): one grid step
+        # per pair keeps grid-dispatch overhead off the hot path
+        def tile(i, _):
+            d = _sq_tile(x_ref[0, pl.ds(i * tn, tn), :], y, y2)  # [TN, Mp]
+            # masking only exists when the cloud sizes needed padding (the
+            # aligned 2048-point case skips all of it — it is VPU-bound)
+            if m_pad != m:
+                col_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 1)
+                row_min = jnp.min(jnp.where(col_ids < m, d, _BIG), axis=1, keepdims=True)
+            else:
+                row_min = jnp.min(d, axis=1, keepdims=True)
+            if n_pad != n:
+                row_valid = (jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + i * tn) < n
+                rowacc[0, 0] += jnp.sum(jnp.where(row_valid, row_min, 0.0))
+                row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 0) + i * tn
+                tile_min = jnp.min(jnp.where(row_ids < n, d, _BIG), axis=0, keepdims=True)
+            else:
+                rowacc[0, 0] += jnp.sum(row_min)
+                tile_min = jnp.min(d, axis=0, keepdims=True)
+            colmin[:] = jnp.minimum(colmin[:], tile_min)
+            return 0
+
+        jax.lax.fori_loop(0, nt, tile, 0, unroll=False)
+
         if m_pad != m:
-            col_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 1)
-            row_min = jnp.min(jnp.where(col_ids < m, d, _BIG), axis=1, keepdims=True)
-        else:
-            row_min = jnp.min(d, axis=1, keepdims=True)
-        if n_pad != n:
-            row_valid = (jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + i * tn) < n
-            rowacc[0, 0] += jnp.sum(jnp.where(row_valid, row_min, 0.0))
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 0) + i * tn
-            tile_min = jnp.min(jnp.where(row_ids < n, d, _BIG), axis=0, keepdims=True)
-        else:
-            rowacc[0, 0] += jnp.sum(row_min)
-            tile_min = jnp.min(d, axis=0, keepdims=True)
-        colmin[:] = jnp.minimum(colmin[:], tile_min)
-
-        @pl.when(i == nt - 1)
-        def _():
             col_valid = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1) < m
             mean_r = jnp.sum(jnp.where(col_valid, colmin[:], 0.0)) / float(m)
-            cd_val = rowacc[0, 0] / float(n) + mean_r
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
-            base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), cdrow[:])
-            cdrow[:] = jnp.where(lane == b_, cd_val, base)
-            cd_ref[0, :, :] = cdrow[:]
+        else:
+            mean_r = jnp.sum(colmin[:]) / float(m)
+        cd_val = rowacc[0, 0] / float(n) + mean_r
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
+        base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), cdrow[:])
+        cdrow[:] = jnp.where(lane == b_, cd_val, base)
+        cd_ref[0, :, :] = cdrow[:]
 
     out = pl.pallas_call(
         kernel,
-        grid=(s1, s2, nt),
+        grid=(s1, s2),
         in_specs=[
-            pl.BlockSpec((1, n_pad, 8), lambda a, b_, i: (a, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, 8), lambda a, b_, i: (b_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 8), lambda a, b_: (a, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, 8), lambda a, b_: (b_, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, s2_pad), lambda a, b_, i: (a, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, s2_pad), lambda a, b_: (a, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((s1, 1, s2_pad), jnp.float32),
         scratch_shapes=[
