@@ -21,3 +21,27 @@ appears (SURVEY.md §9 checklist).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (kept lazy so `import dpfx` stays cheap and
+    jax is not initialized before callers can set platforms)."""
+    if name in ("Config", "load_config", "config_from_dict"):
+        import dpfx.config as m
+        return getattr(m, name)
+    if name in ("DPF", "CouplingFlow", "PointNetEncoder"):
+        import dpfx.models as m
+        return getattr(m, name)
+    if name in ("Trainer", "restore_for_eval"):
+        import dpfx.train as m
+        return getattr(m, name)
+    if name in ("make_sampler", "make_decoder"):
+        import dpfx.sampling as m
+        return getattr(m, name)
+    if name in ("chamfer", "emd", "chamfer_pairwise", "emd_pairwise"):
+        import dpfx.ops as m
+        return getattr(m, name)
+    if name == "compute_all_metrics":
+        import dpfx.metrics as m
+        return m.compute_all_metrics
+    raise AttributeError(f"module 'dpfx' has no attribute {name!r}")
