@@ -60,13 +60,16 @@ def stack_point_flow_params(params: Dict[str, Any], scale_cap: float = 8.0) -> S
     ks = sorted((k for k in tree if k.startswith("coupling_")),
                 key=lambda s: int(s.split("_")[1]))
     n_layers = len(ks)
+    masks3_np = make_masks(3, n_layers)
     wx, bx, wz, whs, bhs, wout, bout = [], [], [], [], [], [], []
-    for k in ks:
+    for ki, k in enumerate(ks):
         cn = tree[k]["cond_net"]
         kin = np.asarray(cn["in_x"]["kernel"])          # [3, H]
         h = kin.shape[1]
         wx_k = np.zeros((h, 8), kin.dtype)
-        wx_k[:, :3] = kin.T
+        # fold the layer's input mask into Wx: Wx @ (x*m) == (Wx*m) @ x,
+        # saving the per-layer masking multiply inside the kernel
+        wx_k[:, :3] = kin.T * masks3_np[ki][None, :]
         wx.append(wx_k)
         bx.append(np.asarray(cn["in_x"]["bias"]))
         wz.append(np.asarray(cn["in_z"]["kernel"]))      # [dz, H]
@@ -115,10 +118,9 @@ def _fused_inverse_kernel(
     def layer(i, x):
         k = n_layers - 1 - i  # inverse order
         mask = masks_ref[k]                             # [8, 1]; padded rows 1
-        xm = (x * mask).astype(dtype)
-        wxk = wx_ref[k].astype(dtype)                   # [H, 8]
+        wxk = wx_ref[k].astype(dtype)                   # [H, 8]; mask pre-folded
         h = jax.lax.dot_general(
-            wxk, xm, (((1,), (0,)), ((), ())),
+            wxk, x.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                               # [H, T]
         h = h + hz_ref[0, k]                            # + (Wz z + bx): [H, 1]
