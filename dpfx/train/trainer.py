@@ -188,6 +188,28 @@ def restore_for_eval(cfg: Config, step: Optional[int] = None):
     return model, state.params, int(state.step)
 
 
+def _device_prefetch(batches: Iterator, depth: int = 2) -> Iterator:
+    """Overlap host batch prep + H2D transfer with the device step: keep
+    `depth` batches in flight via async jax.device_put (the reference's
+    DataLoader-worker overlap, SURVEY.md §2 C4, without processes)."""
+    import collections
+
+    q = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            q.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while q:
+        out = q.popleft()
+        try:
+            q.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class Trainer:
     """Step-based training loop with periodic eval / checkpoint / logging
     (SURVEY.md §3.1 call stack, re-shaped: one jitted sharded step)."""
@@ -230,18 +252,23 @@ class Trainer:
     ) -> TrainState:
         tcfg = self.cfg.train
         steps = steps or tcfg.steps
-        start = int(self.state.step)
+        # host-side step counter: fetching state.step each iteration is a
+        # blocking device round trip (~20 ms via the tunnel) that also
+        # serializes the pipeline
+        step = int(self.state.step)
         t0 = time.perf_counter()
         window = []
-        for batch in batches:
-            step = int(self.state.step)
+        for batch in _device_prefetch(batches):
             if step >= steps:
                 break
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             window.append(metrics)
             step += 1
             if step % tcfg.log_every == 0 or step == steps:
-                m = {k: float(np.mean([float(w[k]) for w in window])) for k in window[0]}
+                # one host transfer, and only of a window tail: per-scalar
+                # float() costs a blocking device round trip each
+                host_window = jax.device_get(window[-16:])
+                m = {k: float(np.mean([w[k] for w in host_window])) for k in window[0]}
                 dt = time.perf_counter() - t0
                 pts = tcfg.log_every * batch["x"].shape[0] * batch["x"].shape[1]
                 self.log_fn(
