@@ -20,4 +20,4 @@ native:    ## force-build the C++ loader
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true
-	rm -f dpfx/native/libdpfx_loader_*.so
+	rm -f dpfx/native/src/libdpfx_loader_*.so

@@ -33,7 +33,13 @@ def _build(cls, data: Dict[str, Any], strict: bool, path: str):
     fields = {f.name: f for f in dataclasses.fields(cls)}
     kwargs: Dict[str, Any] = {}
     extra: Dict[str, Any] = {}
+    unknown: list = []
     for key, value in data.items():
+        if key == "extra" and isinstance(value, dict):
+            # round-trip support: config_to_dict serializes .extra as a key;
+            # not an unknown key, so no warning
+            extra.update(value)
+            continue
         if key in fields and key != "extra":
             f = fields[key]
             sub = _dataclass_type(f.type, cls)
@@ -43,11 +49,12 @@ def _build(cls, data: Dict[str, Any], strict: bool, path: str):
                 kwargs[key] = _coerce(value, f)
         else:
             extra[key] = value
-    if extra:
+            unknown.append(key)
+    if unknown:
         if strict:
-            raise KeyError(f"unknown config keys at {path!r}: {sorted(extra)}")
+            raise KeyError(f"unknown config keys at {path!r}: {sorted(unknown)}")
         warnings.warn(
-            f"dpfx.config: unknown keys at {path!r} kept in .extra: {sorted(extra)}",
+            f"dpfx.config: unknown keys at {path!r} kept in .extra: {sorted(unknown)}",
             stacklevel=2,
         )
     obj = cls(**kwargs)

@@ -38,6 +38,11 @@ def iterate_batches(
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"x": [B, n_points, 3]} batches (plus "image" [B,H,W,3] for
     SVR datasets), reshuffled every epoch."""
+    if drop_last and len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size {batch_size} with "
+            "drop_last=True: no batch can ever be produced"
+        )
     epoch = 0
     while epochs is None or epoch < epochs:
         rng = np.random.default_rng(seed * 1_000_003 + epoch)

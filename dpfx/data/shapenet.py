@@ -51,7 +51,6 @@ SYNSET_IDS: Dict[str, str] = {
     "monitor": "03211117",
     "table": "04379243",
     "telephone": "04401088",
-    "tin_can": "02946921",
     "tower": "04460130",
     "train": "04468005",
     "keyboard": "03085013",
@@ -160,7 +159,17 @@ class ShapeNetH5:
                 self._indices = np.nonzero(np.asarray(self._labels[:]) == cat_id)[0]
         self.stats = stats
         if normalize == "global" and stats is None:
-            self.stats = compute_global_stats(np.asarray(self._data[: min(200, len(self._indices))]))
+            # global stats come from the TRAIN split with the same category
+            # filter, whatever split this instance serves — train and eval
+            # must share one normalization frame
+            if split == "train":
+                donor = self
+            else:
+                donor = ShapeNetH5(path, "train", category, normalize="none")
+            rows = donor._indices[: min(200, len(donor._indices))]
+            self.stats = compute_global_stats(
+                np.stack([np.asarray(donor._data[i]) for i in rows])
+            )
 
     def __len__(self) -> int:
         return len(self._indices)
@@ -203,7 +212,15 @@ class ShapeNetNpyDir:
             raise FileNotFoundError(f"no .npy clouds under {root} for {category}/{split}")
         self.stats = stats
         if normalize == "global" and stats is None:
-            sample = np.stack([np.load(f) for f in self.files[:64]])
+            # stats always from the train split (same category), so every
+            # split normalizes in the same frame
+            if split == "train":
+                donor_files = self.files
+            else:
+                donor_files = ShapeNetNpyDir(
+                    root, "train", category, normalize="none"
+                ).files
+            sample = np.stack([np.load(f) for f in donor_files[:64]])
             self.stats = compute_global_stats(sample)
 
     def __len__(self) -> int:

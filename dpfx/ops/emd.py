@@ -30,15 +30,17 @@ Kernel design (SURVEY.md §8 step 6b): per pair, clouds + all matching state
 (remainl/remainr/rowsum/colsum/grad accumulators) live in VMEM; the [N, M]
 distance/weight tiles are recomputed per pass from one MXU matmul each, so
 neither d nor match ever exists in HBM (the jnp oracle materializes both,
-which is why it is the oracle and not the implementation). Three tile passes
-per iteration (rowsum -> colsum -> apply); gradients accumulate inside the
-apply pass as two extra MXU matmuls, making the backward nearly free.
+which is why it is the oracle and not the implementation). One full
+elementwise tile pass per annealing level plus a cheap post-ratio pass (a
+bf16-w-cache matvec in fast mode, an exact f32 recompute otherwise — see
+_emd_kernel_body); gradients accumulate inside the post-ratio pass as two
+extra MXU matmuls, making the backward nearly free.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -369,19 +371,18 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
 # ---------------------------------------------------------------------------
 
 
-def _prep(x: Array, y: Array) -> Tuple[Array, Array, int, int, int]:
-    n, m = x.shape[-2], y.shape[-2]
-    tn = min(256, _round_up(n, 8))
-    xp = _pad_coords(x, _round_up(n, tn))
-    yp = _pad_coords(y, _round_up(m, 128))
-    return xp, yp, n, m, tn
+# padding/tiling policy is shared with the chamfer kernels — one definition
+from dpfx.ops.chamfer import _prep_pair as _prep  # noqa: E402
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def emd(x: Array, y: Array, impl: str = "auto", n_iters: int = _DEFAULT_ITERS) -> Array:
-    """Approx EMD per diagonal pair: x [B,N,3], y [B,M,3] -> [B]."""
-    cost, _, _ = _emd_fwd_impl(x, y, impl, n_iters)
-    return cost
+    """Approx EMD per diagonal pair: x [B,N,3], y [B,M,3] -> [B].
+
+    The primal (non-differentiated call) skips the gradient-accumulation
+    passes entirely (~7x cheaper); grads are computed only when jax
+    actually differentiates (see _emd_vjp_fwd)."""
+    return emd_nograd(x, y, impl, n_iters)
 
 
 def _emd_fwd_impl(x, y, impl, n_iters):
@@ -434,7 +435,6 @@ def emd_pairwise(
     "exact" recomputes w in f32 like the batched/training path."""
     if impl == "auto":
         impl = "pallas"
-    n = xs.shape[-2]
     if impl == "jnp":
         def row(xi):
             return jax.lax.map(lambda yj: emd_jnp(xi, yj, n_iters), ys)

@@ -270,7 +270,9 @@ class Trainer:
                 host_window = jax.device_get(window[-16:])
                 m = {k: float(np.mean([w[k] for w in host_window])) for k in window[0]}
                 dt = time.perf_counter() - t0
-                pts = tcfg.log_every * batch["x"].shape[0] * batch["x"].shape[1]
+                # len(window) = actual steps in this window (the final or
+                # first-after-resume window can be shorter than log_every)
+                pts = len(window) * batch["x"].shape[0] * batch["x"].shape[1]
                 self.log_fn(
                     f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
                     f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
@@ -289,10 +291,20 @@ class Trainer:
         return self.state
 
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        nd = self.mesh.devices.size if self.mesh is not None else 1
         ms = []
         for i, batch in enumerate(batches):
+            b = batch["x"].shape[0]
+            if nd > 1 and b % nd:
+                # the sharded eval step needs batch % n_devices == 0; trim
+                # the ragged tail (< n_devices clouds) rather than crash
+                keep = b - (b % nd)
+                if keep == 0:
+                    continue
+                batch = jax.tree.map(lambda a: a[:keep], batch)
             ms.append(self.eval_step(self.state.params, batch, jax.random.fold_in(self.rng, i)))
-        agg = {k: float(np.mean([float(m[k]) for m in ms])) for k in ms[0]} if ms else {}
+        ms = jax.device_get(ms)  # one host transfer, not one per scalar
+        agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]} if ms else {}
         if agg:
             self.log_fn(
                 f"[dpfx] val @ step {int(self.state.step)}: "
