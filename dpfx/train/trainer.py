@@ -173,19 +173,40 @@ class CheckpointManager:
         )
         return self.manager.restore(step, args=self._ocp.args.StandardRestore(abstract))
 
+    def restore_params(self, params_template, step: Optional[int] = None):
+        """Params-only restore (eval/generate): the abstract tree comes from
+        the checkpoint's own metadata, so the saved optimizer state is
+        restored opaquely and discarded — optimizer-config changes between
+        training and eval never break restore."""
+        del params_template  # shape source of truth is the checkpoint itself
+        step = step if step is not None else self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        meta = self.manager.item_metadata(step)
+        abstract = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype or jnp.float32)
+            if hasattr(m, "shape") else m,
+            meta,
+        )
+        out = self.manager.restore(step, args=self._ocp.args.StandardRestore(abstract))
+        tree = out if isinstance(out, dict) else out.__dict__
+        return tree["params"]
+
     def wait(self) -> None:
         self.manager.wait_until_finished()
 
 
 def restore_for_eval(cfg: Config, step: Optional[int] = None):
     """Rebuild the model from config and restore params from the latest (or
-    given) checkpoint — the eval/generate CLI entry path (SURVEY.md §3.2)."""
+    given) checkpoint — the eval/generate CLI entry path (SURVEY.md §3.2).
+    Params-only: optimizer-state layout changes never break eval."""
     model = DPF(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = init_state(model, cfg, rng)
     ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
-    state = ckpt.restore(state, step)
-    return model, state.params, int(state.step)
+    step = step if step is not None else ckpt.latest_step()
+    params = ckpt.restore_params(state.params, step)
+    return model, params, int(step)
 
 
 def _device_prefetch(batches: Iterator, depth: int = 2) -> Iterator:
