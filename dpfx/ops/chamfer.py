@@ -77,10 +77,15 @@ def _pad_vec(v: Array, n_to: int, fill: float) -> Array:
 
 
 def sqdist_matrix(x: Array, y: Array) -> Array:
-    """[.., N, 3], [.., M, 3] -> [.., N, M] squared distances."""
+    """[.., N, 3], [.., M, 3] -> [.., N, M] squared distances.
+
+    HIGHEST precision: on TPU the default f32 contraction runs as bf16x3
+    passes (xla_allow_excess_precision), which breaks the x^2+y^2-2xy
+    cancellation for near-identical points (~6e-4 phantom squared
+    distance). Same policy as the Pallas kernels' _sq_tile."""
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)
-    xy = jnp.einsum("...nc,...mc->...nm", x, y)
+    xy = jnp.einsum("...nc,...mc->...nm", x, y, precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(x2 - 2.0 * xy + jnp.swapaxes(y2, -1, -2), 0.0)
 
 
@@ -109,9 +114,16 @@ def nn_distances_all(x: Array, y: Array, impl: str = "jnp"):
 
 
 def _sq_tile(xt: Array, y: Array, y2: Array) -> Array:
-    """[TN, 8], [M, 8], [1, M] -> [TN, M] squared distances (one MXU matmul)."""
+    """[TN, 8], [M, 8], [1, M] -> [TN, M] squared distances (one MXU matmul).
+
+    HIGHEST precision: the TPU's default f32 matmul (bf16x3 passes under
+    xla_allow_excess_precision) breaks the exact cancellation of
+    x^2 + y^2 - 2xy for near-identical points — measured ~6e-4 of phantom
+    squared distance on the diagonal of identical clouds, which corrupts
+    EMD costs (sqrt amplifies) and near-zero CD values."""
     x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
-    xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32)
+    xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
 

@@ -160,7 +160,10 @@ def _emd_kernel_body(
         # lowering
         xt = x_ref[0, pl.ds(i * tn, tn), :]  # [TN, 8]
         x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
-        xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32)
+        # HIGHEST: default f32 MXU matmul is bf16x3 -> phantom ~6e-4 sq-dist
+        # on identical points (see chamfer._sq_tile)
+        xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         return xt, jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
 
     def level_body(it, _):

@@ -161,6 +161,7 @@ def fused_point_flow_inverse(
 
     Equivalent to CouplingFlow.inverse(u, z)[0] for the stacked params."""
     b, n, _ = u.shape
+    tile = max(128, tile)
     n_pad = _round_up(n, tile)
     # transposed + padded noise: [B, 8, Np], rows 3..7 zero
     ut = jnp.zeros((b, 8, n_pad), jnp.float32)
@@ -180,10 +181,12 @@ def fused_inverse_transposed(
     zero) -> x [B, 8, Np]. Samplers generate noise directly in this layout —
     XLA's RNG into a [B, N, 3] array is lane-padding-bound (~78 ms for
     256x2048x3 standalone vs 0.6 ms transposed; see BASELINE.md)."""
+    tile = max(128, tile)  # Mosaic lane constraint: trailing block dim >= 128
     b, _, n_pad = ut.shape
     k, h, _ = sp.wx.shape
     n_hidden_m1 = sp.wh.shape[1]
-    assert n_pad % tile == 0
+    if n_pad % tile:
+        raise ValueError(f"ut points axis {n_pad} not a multiple of tile {tile}")
     nt = n_pad // tile
 
     # per-cloud, per-layer z-projection (+ in_x bias), computed once in XLA
@@ -302,6 +305,7 @@ def fused_sample_points(
     by the in-kernel TPU PRNG, then all K inverted couplings applied with
     everything VMEM-resident."""
     b = z.shape[0]
+    tile = max(128, tile)  # Mosaic lane constraint: trailing block dim >= 128
     if _interpret():
         # pltpu.prng_* has no interpret-mode lowering; draw noise in XLA
         # (CPU/test path — distribution-equivalent, different stream)
