@@ -25,9 +25,54 @@ import numpy as np
 # baseline; vs_baseline therefore reads as "x over the round-1 unoptimized
 # sampler".
 PINNED_BASELINE_POINTS_PER_SEC = 18_513_899.0
+# First HONEST device-side flagship train-step measurement (round 2: all 20
+# steps inside ONE dispatched lax.scan, closed by a scalar fetch): 30.6
+# ms/step. Round 1's "4.3 ms/step (30.6M pts/s)" was an async-dispatch
+# artifact — it would imply >100% MFU (~9e11 FLOPs/step vs ~197 TFLOP/s bf16
+# peak = 4.7 ms floor); see BASELINE.md correction note.
+PINNED_TRAIN_BASELINE_POINTS_PER_SEC = 4_282_298.0
 
 B = 256
 N = 2048
+TRAIN_B = 64
+TRAIN_N = 2048
+
+
+def bench_train(cfg) -> float:
+    """Flagship train-step throughput (points/s/chip), device-side, chained
+    steady-state: the TrainState carry serializes the steps on device and a
+    final scalar fetch closes the chain."""
+    from dpfx.models import DPF
+    from dpfx.train import init_state, make_optimizer, make_train_step
+
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(cfg.train)
+    state = init_state(model, cfg, rng, tx)
+    step = make_train_step(model, tx, cfg, mesh=None, jit=False)
+    batch = {"x": jax.random.normal(rng, (TRAIN_B, TRAIN_N, 3), jnp.float32)}
+
+    reps = 20
+
+    # all `reps` steps in ONE dispatched call: through this box's TPU tunnel
+    # each dispatch costs ~20 ms, which would dominate a per-call loop; the
+    # scan chain measures the actual device step time.
+    @jax.jit
+    def run_chain(state, batch, rng):
+        def body(st, i):
+            st, m = step(st, batch, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(reps))
+
+    state, losses = run_chain(state, batch, rng)  # compile + warmup chain
+    float(losses[-1])
+    t0 = time.perf_counter()
+    state, losses = run_chain(state, batch, jax.random.fold_in(rng, 1))
+    closing = float(losses[-1])
+    dt = (time.perf_counter() - t0) / reps
+    assert np.isfinite(closing)
+    return TRAIN_B * TRAIN_N / dt
 
 
 def main() -> None:
@@ -68,11 +113,16 @@ def main() -> None:
     assert bool(jnp.isfinite(out).all())
 
     pts_per_sec = B * N / dt
+    train_pts_per_sec = bench_train(cfg)
     print(json.dumps({
         "metric": "sample_points_per_sec_per_chip",
         "value": round(pts_per_sec),
         "unit": "points/s",
         "vs_baseline": round(pts_per_sec / PINNED_BASELINE_POINTS_PER_SEC, 3),
+        "train_points_per_sec_per_chip": round(train_pts_per_sec),
+        "train_vs_baseline": round(
+            train_pts_per_sec / PINNED_TRAIN_BASELINE_POINTS_PER_SEC, 3
+        ),
     }))
 
 

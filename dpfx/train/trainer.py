@@ -76,11 +76,17 @@ def init_state(model: DPF, cfg: Config, rng: Array, tx=None) -> TrainState:
 
 
 def make_train_step(
-    model: DPF, tx: optax.GradientTransformation, cfg: Config, mesh: Optional[Mesh] = None
+    model: DPF,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh: Optional[Mesh] = None,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step. With a mesh, the batch is sharded on the
     data axis and state replicated; the returned fn takes already-placed (or
-    host) arrays and XLA handles the collectives."""
+    host) arrays and XLA handles the collectives. With ``jit=False`` the raw
+    traceable step is returned (for embedding in a lax.scan chain, e.g. the
+    bench's single-dispatch device-side timing)."""
     tcfg = cfg.train
 
     def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
@@ -104,6 +110,8 @@ def make_train_step(
         new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, metrics
 
+    if not jit:
+        return step_fn
     # single-device meshes take the plain jit path: sharding annotations are
     # a no-op semantically but the experimental axon (single-chip TPU)
     # backend executes them through a ~50x slower path (measured 1770 ms vs
