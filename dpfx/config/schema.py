@@ -158,6 +158,12 @@ class DataConfig:
     n_points: int = 2048         # training cloud size [paper, HIGH]
     n_points_eval: int = 2048
     normalize: str = "per_shape"  # per_shape | global | none; VERIFY-vs-reference (§7 metric conventions)
+    # category-name -> label-id map for shapenet_h5 files that carry labels
+    # but no name table; never guessed (round-1 ADVICE)
+    h5_label_map: Dict[str, int] = field(default_factory=dict)
+    norm_stats_max_clouds: int = 0  # 0 = full train split (PointFlow frame);
+    #                                 >0 = seeded random subsample (warned)
+    norm_stats_seed: int = 0
     num_workers: int = 0
     # synthetic dataset controls (tests / smoke configs)
     synthetic_size: int = 256

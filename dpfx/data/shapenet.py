@@ -112,11 +112,54 @@ def normalize_cloud(
 
 
 def compute_global_stats(clouds: np.ndarray) -> NormStats:
-    """clouds: [S, N, 3] train split."""
+    """clouds: [S, N, 3] train split. PointFlow-style frame: per-axis mean,
+    one scalar std over all coordinates."""
     pts = clouds.reshape(-1, 3)
     mean = pts.mean(axis=0)
     scale = pts.std()
     return NormStats(mean, scale)
+
+
+def compute_global_stats_streaming(cloud_iter) -> NormStats:
+    """Same statistics as :func:`compute_global_stats` but streamed over an
+    iterator of ``[N, 3]`` clouds, so the FULL train split can be used
+    without materializing it (the PointFlow convention computes stats over
+    the whole split — a prefix subsample biases the normalization frame)."""
+    sum3 = np.zeros(3, np.float64)
+    se = 0.0   # sum of all coordinates
+    sse = 0.0  # sum of squared coordinates
+    n_pts = 0
+    for x in cloud_iter:
+        x = np.asarray(x, dtype=np.float64).reshape(-1, 3)
+        sum3 += x.sum(axis=0)
+        se += float(x.sum())
+        sse += float((x * x).sum())
+        n_pts += x.shape[0]
+    if n_pts == 0:
+        raise ValueError("no clouds to compute normalization stats from")
+    ne = 3.0 * n_pts
+    mean_all = se / ne
+    var = max(sse / ne - mean_all * mean_all, 0.0)
+    return NormStats((sum3 / n_pts).astype(np.float32), float(np.sqrt(var)))
+
+
+def _stats_row_subset(n_rows: int, max_clouds: int, seed: int = 0) -> np.ndarray:
+    """Row indices for normalization stats: the full split when
+    ``max_clouds`` <= 0, else a seeded random subsample (never a silent
+    prefix — ADVICE round 1)."""
+    if max_clouds <= 0 or n_rows <= max_clouds:
+        return np.arange(n_rows)
+    rows = np.random.default_rng(seed).choice(n_rows, size=max_clouds, replace=False)
+    rows.sort()
+    import warnings
+
+    warnings.warn(
+        f"dpfx.data: global normalization stats from a seeded random "
+        f"subsample of {max_clouds}/{n_rows} train clouds "
+        f"(data.norm_stats_max_clouds); set 0 for the full split",
+        stacklevel=3,
+    )
+    return rows
 
 
 class ShapeNetH5:
@@ -125,6 +168,9 @@ class ShapeNetH5:
     be named ``train``/``val``/``test`` directly or nested as
     ``<split>/data`` groups. Clouds load lazily per item."""
 
+    #: H5 dataset/attr names probed for the label-id -> category-name table
+    _LABEL_TABLE_NAMES = ("label_names", "categories", "cat_names", "classes")
+
     def __init__(
         self,
         path: str,
@@ -132,6 +178,9 @@ class ShapeNetH5:
         category: str = "all",
         normalize: str = "per_shape",
         stats: Optional[NormStats] = None,
+        label_map: Optional[Dict[str, int]] = None,
+        norm_stats_max_clouds: int = 0,
+        stats_seed: int = 0,
     ):
         import h5py  # deferred so the module imports without h5 data
 
@@ -153,10 +202,36 @@ class ShapeNetH5:
                 self._labels = self._h5[lname]
                 break
         self._indices = np.arange(self._data.shape[0])
-        if category != "all" and self._labels is not None:
-            cat_id = sorted(SYNSET_IDS).index(category) if category in SYNSET_IDS else None
-            if cat_id is not None:
-                self._indices = np.nonzero(np.asarray(self._labels[:]) == cat_id)[0]
+        if category != "all" and self._labels is None:
+            # no labels at all: a per-category file (the common single-class
+            # layout); nothing to filter, but say so
+            import warnings
+
+            warnings.warn(
+                f"dpfx.data: {path} has no label dataset; serving all "
+                f"{self._data.shape[0]} clouds as category={category!r} "
+                f"(per-category file assumed)",
+                stacklevel=2,
+            )
+        elif category != "all":
+            # label-id semantics are file-specific; never guess (round-1
+            # ADVICE: the alphabetical-SYNSET_IDS-index assumption silently
+            # selects the wrong category on any other convention)
+            lm = label_map if label_map else self._label_map_from_file()
+            if lm is None:
+                raise ValueError(
+                    f"category={category!r} requested but no label->category "
+                    f"mapping exists: {path} carries none of "
+                    f"{self._LABEL_TABLE_NAMES} (dataset or file attr) and no "
+                    f"data.h5_label_map was configured"
+                )
+            if category not in lm:
+                raise KeyError(
+                    f"category {category!r} not in label map (known: {sorted(lm)})"
+                )
+            self._indices = np.nonzero(
+                np.asarray(self._labels[:]) == int(lm[category])
+            )[0]
         self.stats = stats
         if normalize == "global" and stats is None:
             # global stats come from the TRAIN split with the same category
@@ -165,11 +240,36 @@ class ShapeNetH5:
             if split == "train":
                 donor = self
             else:
-                donor = ShapeNetH5(path, "train", category, normalize="none")
-            rows = donor._indices[: min(200, len(donor._indices))]
-            self.stats = compute_global_stats(
-                np.stack([np.asarray(donor._data[i]) for i in rows])
+                donor = ShapeNetH5(
+                    path, "train", category, normalize="none",
+                    label_map=label_map,
+                )
+            rows = donor._indices[
+                _stats_row_subset(len(donor._indices), norm_stats_max_clouds, stats_seed)
+            ]
+            self.stats = compute_global_stats_streaming(
+                np.asarray(donor._data[i]) for i in rows
             )
+
+    def _label_map_from_file(self) -> Optional[Dict[str, int]]:
+        """category name -> label id, read from the file itself: a string
+        table (dataset or file attribute) whose index IS the label id.
+        Synset ids in the table are translated to category names."""
+        syn_to_name = {v: k for k, v in SYNSET_IDS.items()}
+        for name in self._LABEL_TABLE_NAMES:
+            table = None
+            if name in self._h5:
+                table = self._h5[name][:]
+            elif name in self._h5.attrs:
+                table = self._h5.attrs[name]
+            if table is None:
+                continue
+            out: Dict[str, int] = {}
+            for i, raw in enumerate(np.asarray(table).tolist()):
+                s = raw.decode() if isinstance(raw, bytes) else str(raw)
+                out[syn_to_name.get(s, s)] = i
+            return out
+        return None
 
     def __len__(self) -> int:
         return len(self._indices)
@@ -194,6 +294,8 @@ class ShapeNetNpyDir:
         category: str = "airplane",
         normalize: str = "per_shape",
         stats: Optional[NormStats] = None,
+        norm_stats_max_clouds: int = 0,
+        stats_seed: int = 0,
     ):
         self.normalize = normalize
         cats = sorted(SYNSET_IDS) if category == "all" else [category]
@@ -213,15 +315,19 @@ class ShapeNetNpyDir:
         self.stats = stats
         if normalize == "global" and stats is None:
             # stats always from the train split (same category), so every
-            # split normalizes in the same frame
+            # split normalizes in the same frame; full split by default
             if split == "train":
                 donor_files = self.files
             else:
                 donor_files = ShapeNetNpyDir(
                     root, "train", category, normalize="none"
                 ).files
-            sample = np.stack([np.load(f) for f in donor_files[:64]])
-            self.stats = compute_global_stats(sample)
+            rows = _stats_row_subset(
+                len(donor_files), norm_stats_max_clouds, stats_seed
+            )
+            self.stats = compute_global_stats_streaming(
+                np.load(donor_files[i]) for i in rows
+            )
 
     def __len__(self) -> int:
         return len(self.files)
@@ -249,9 +355,18 @@ def build_dataset(cfg, split: str, image_size: int = 64):
 
         return SyntheticSVRDataset(size=sizes[split], image_size=image_size, split=split)
     if cfg.dataset == "shapenet_h5":
-        return ShapeNetH5(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
+        return ShapeNetH5(
+            cfg.path, split=split, category=cfg.category, normalize=cfg.normalize,
+            label_map=cfg.h5_label_map or None,
+            norm_stats_max_clouds=cfg.norm_stats_max_clouds,
+            stats_seed=cfg.norm_stats_seed,
+        )
     if cfg.dataset == "shapenet_npy_dir":
-        return ShapeNetNpyDir(cfg.path, split=split, category=cfg.category, normalize=cfg.normalize)
+        return ShapeNetNpyDir(
+            cfg.path, split=split, category=cfg.category, normalize=cfg.normalize,
+            norm_stats_max_clouds=cfg.norm_stats_max_clouds,
+            stats_seed=cfg.norm_stats_seed,
+        )
     if cfg.dataset == "shapenet_svr":
         from dpfx.data.svr import ShapeNetRenderDataset
 

@@ -83,20 +83,42 @@ def build_error() -> Optional[str]:
 class NativeBatcher:
     """Threaded native batch producer over a packed .npy cloud stack
     (see tools/pack_dataset.py). Yields {"x": [B, n_points, 3]} like
-    dpfx.data.iterate_batches, with batch prep fully off the Python thread."""
+    dpfx.data.iterate_batches, with batch prep fully off the Python thread.
+
+    ``normalize`` defaults to ``"none"`` because packed stacks written by
+    tools/pack_dataset.py already carry the dataset-level normalization (the
+    sidecar ``<path>.meta.json`` records which); re-normalizing here would
+    silently shift the frame — and note the native ``per_shape`` path
+    normalizes *after* point subsampling, unlike the Python datasets which
+    normalize the full stored cloud. A conflicting setting against the
+    sidecar raises."""
 
     def __init__(
         self,
         npy_path: str,
         batch_size: int,
         n_points: int,
-        normalize: str = "per_shape",
+        normalize: str = "none",
         seed: int = 0,
         n_workers: int = 4,
     ):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native loader unavailable: {_BUILD_ERR}")
+        meta_path = npy_path + ".meta.json"
+        if os.path.exists(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                meta = json.load(f)
+            pre = meta.get("normalize_applied", "none")
+            if pre != "none" and normalize != "none":
+                raise ValueError(
+                    f"packed stack {npy_path} was written with "
+                    f"normalize={pre!r} already applied (per its sidecar "
+                    f"{meta_path}); requesting normalize={normalize!r} here "
+                    f"would double-normalize — pass normalize='none'"
+                )
         self._lib = lib
         err = ctypes.create_string_buffer(512)
         norm = {"none": 0, "per_shape": 1}[normalize]

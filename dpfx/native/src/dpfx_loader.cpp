@@ -56,7 +56,13 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
   int major = p[6];
   size_t hlen, hoff;
   if (major == 1) { hlen = p[8] | (p[9] << 8); hoff = 10; }
-  else { hlen = p[8] | (p[9] << 8) | (p[10] << 16) | (size_t(p[11]) << 24); hoff = 12; }
+  else {
+    if (st.st_size < 12) { *err = "truncated npy v2 header"; munmap(map, st.st_size); ::close(fd); return false; }
+    hlen = p[8] | (p[9] << 8) | (p[10] << 16) | (size_t(p[11]) << 24); hoff = 12;
+  }
+  if ((size_t)st.st_size < hoff + hlen) {
+    *err = "truncated npy header"; munmap(map, st.st_size); ::close(fd); return false;
+  }
   std::string header(reinterpret_cast<const char*>(p + hoff), hlen);
   if (header.find("'<f4'") == std::string::npos ||
       header.find("'fortran_order': False") == std::string::npos) {
@@ -75,6 +81,15 @@ bool parse_npy(const char* path, NpyArray* out, std::string* err) {
     while (sh < header.size() && header[sh] != ',' && header[sh] != ')') sh++;
   }
   if (nd != 3) { *err = "need rank-3 [S,N,3] array"; munmap(map, st.st_size); ::close(fd); return false; }
+  if (dims[0] <= 0 || dims[1] <= 0 || dims[2] <= 0 || dims[2] > 8) {
+    *err = "bad shape"; munmap(map, st.st_size); ::close(fd); return false;
+  }
+  // a truncated/corrupt payload would make the workers read out of bounds
+  uint64_t need = (uint64_t)dims[0] * dims[1] * dims[2] * sizeof(float);
+  if ((uint64_t)st.st_size < hoff + hlen + need) {
+    *err = "npy payload shorter than header shape implies (truncated file?)";
+    munmap(map, st.st_size); ::close(fd); return false;
+  }
   out->fd = fd;
   out->map = map;
   out->map_len = st.st_size;

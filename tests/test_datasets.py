@@ -112,3 +112,84 @@ def test_shapenet_render_dataset(tmp_path, npy_tree):
     assert ds[0].shape == (100, 3)
     img = ds.image(0)
     assert img.shape == (64, 64, 3) and 0 <= img.min() and img.max() <= 1.0
+
+
+@pytest.fixture(scope="module")
+def h5_with_label_table(tmp_path_factory):
+    """H5 fixture whose label ids follow the FILE's own name table — ordered
+    so that index != alphabetical-SYNSET position (the round-1 bug shape)."""
+    import h5py
+
+    path = str(tmp_path_factory.mktemp("h5lbl") / "clouds.h5")
+    rng = np.random.default_rng(3)
+    names = ["chair", "02691156", "car"]  # synset id resolves to airplane
+    with h5py.File(path, "w") as f:
+        for split, s in (("train", 9), ("test", 3)):
+            f.create_dataset(split, data=rng.normal(size=(s, 64, 3)).astype(np.float32))
+        f.create_dataset("train_labels", data=np.arange(9) % 3)
+        f.create_dataset("label_names", data=np.array(names, dtype="S"))
+    return path
+
+
+def test_h5_category_filter_uses_file_label_table(h5_with_label_table):
+    ds = ShapeNetH5(h5_with_label_table, split="train", category="airplane")
+    # airplane is label id 1 per the file's own table (NOT its alphabetical
+    # SYNSET position) -> rows 1, 4, 7
+    assert len(ds) == 3
+    assert [ds.label(i) for i in range(3)] == [1, 1, 1]
+    chairs = ShapeNetH5(h5_with_label_table, split="train", category="chair")
+    assert [chairs.label(i) for i in range(3)] == [0, 0, 0]
+
+
+def test_h5_category_without_mapping_fails_loudly(h5_file):
+    # h5_file has train_labels but no name table and no configured map
+    with pytest.raises(ValueError, match="no label->category mapping"):
+        ShapeNetH5(h5_file, split="train", category="airplane")
+    # an explicit map unblocks it
+    ds = ShapeNetH5(
+        h5_file, split="train", category="airplane", label_map={"airplane": 2}
+    )
+    assert len(ds) == 4 and ds.label(0) == 2
+
+
+def test_h5_category_without_labels_warns_per_category_file(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "nolabels.h5")
+    with h5py.File(path, "w") as f:
+        f.create_dataset(
+            "train", data=np.zeros((4, 16, 3), np.float32)
+        )
+    with pytest.warns(UserWarning, match="per-category file assumed"):
+        ds = ShapeNetH5(path, split="train", category="airplane")
+    assert len(ds) == 4
+
+
+def test_global_stats_full_split_streaming(h5_file):
+    """Default global stats must come from the FULL train split (not a
+    prefix subsample) and match the dense computation."""
+    import h5py
+
+    from dpfx.data.shapenet import compute_global_stats
+
+    ds = ShapeNetH5(h5_file, split="test", normalize="global")
+    with h5py.File(h5_file, "r") as f:
+        train = np.asarray(f["train"])
+    ref = compute_global_stats(train)
+    np.testing.assert_allclose(ds.stats.mean, ref.mean, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(ds.stats.scale, ref.scale, rtol=1e-5)
+
+
+def test_global_stats_subsample_is_seeded_and_warned(npy_tree):
+    with pytest.warns(UserWarning, match="seeded random subsample"):
+        a = ShapeNetNpyDir(
+            npy_tree, split="test", category="airplane", normalize="global",
+            norm_stats_max_clouds=3, stats_seed=11,
+        )
+    with pytest.warns(UserWarning):
+        b = ShapeNetNpyDir(
+            npy_tree, split="test", category="airplane", normalize="global",
+            norm_stats_max_clouds=3, stats_seed=11,
+        )
+    np.testing.assert_allclose(a.stats.mean, b.stats.mean)
+    assert a.stats.scale == b.stats.scale

@@ -34,6 +34,22 @@ def main(argv=None) -> int:
         [sample_cloud(ds[i], args.n_stored, rng) for i in range(len(ds))]
     ).astype(np.float32)
     np.save(args.out, stack)
+    # sidecar records that the dataset-level normalization is already baked
+    # into the stack; NativeBatcher rejects conflicting re-normalization
+    import json
+
+    out_npy = args.out if args.out.endswith(".npy") else args.out + ".npy"
+    with open(out_npy + ".meta.json", "w") as f:
+        json.dump(
+            {
+                "normalize_applied": cfg.data.normalize,
+                "dataset": cfg.data.dataset,
+                "category": cfg.data.category,
+                "split": args.split,
+                "n_stored": args.n_stored,
+            },
+            f,
+        )
     print(f"[dpfx] packed {stack.shape} ({stack.nbytes/1e6:.1f} MB) -> {args.out}")
     return 0
 
