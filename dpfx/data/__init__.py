@@ -1,4 +1,10 @@
-from dpfx.data.loader import iterate_batches, load_all, load_all_images, sample_cloud
+from dpfx.data.loader import (
+    iterate_batches,
+    load_all,
+    load_all_images,
+    load_all_labels,
+    sample_cloud,
+)
 from dpfx.data.svr import ShapeNetRenderDataset, SyntheticSVRDataset, render_cloud
 from dpfx.data.shapenet import (
     SYNSET_IDS,
@@ -7,6 +13,7 @@ from dpfx.data.shapenet import (
     ShapeNetNpyDir,
     build_dataset,
     compute_global_stats,
+    compute_global_stats_streaming,
     normalize_cloud,
 )
 from dpfx.data.synthetic import SyntheticDataset
@@ -15,6 +22,7 @@ __all__ = [
     "iterate_batches",
     "load_all",
     "load_all_images",
+    "load_all_labels",
     "sample_cloud",
     "ShapeNetRenderDataset",
     "SyntheticSVRDataset",
@@ -25,6 +33,7 @@ __all__ = [
     "ShapeNetNpyDir",
     "build_dataset",
     "compute_global_stats",
+    "compute_global_stats_streaming",
     "normalize_cloud",
     "SyntheticDataset",
 ]

@@ -71,6 +71,15 @@ def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None)
     return np.stack([sample_cloud(dataset[i], n_points, rng) for i in range(count)])
 
 
+def load_all_labels(dataset, limit: Optional[int] = None) -> Optional[np.ndarray]:
+    """Category ids aligned with load_all's rows, or None for label-less
+    datasets (per-category eval reporting, SURVEY.md §6)."""
+    if not hasattr(dataset, "label"):
+        return None
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    return np.array([dataset.label(i) for i in range(count)], np.int32)
+
+
 def load_all_images(dataset, limit: Optional[int] = None) -> Optional[np.ndarray]:
     """Materialize the paired renders [S, H, W, 3] for SVR eval, or None
     for image-less datasets."""

@@ -232,6 +232,10 @@ class ShapeNetH5:
             self._indices = np.nonzero(
                 np.asarray(self._labels[:]) == int(lm[category])
             )[0]
+        # id -> category-name table for per-category eval reporting, from
+        # the explicit map or the file's own table when either exists
+        lm_any = label_map if label_map else self._label_map_from_file()
+        self.label_names = {v: k for k, v in lm_any.items()} if lm_any else None
         self.stats = stats
         if normalize == "global" and stats is None:
             # global stats come from the TRAIN split with the same category
@@ -299,6 +303,7 @@ class ShapeNetNpyDir:
     ):
         self.normalize = normalize
         cats = sorted(SYNSET_IDS) if category == "all" else [category]
+        self.label_names = dict(enumerate(cats))  # per-category eval reporting
         self.files: List[str] = []
         self.labels: List[int] = []
         for ci, cat in enumerate(cats):

@@ -4,6 +4,7 @@ from dpfx.metrics.generation import (
     mmd_cov,
     one_nna,
     pairwise_matrix,
+    per_category_mmd_cov,
 )
 from dpfx.metrics.protocol import evaluate_generation, evaluate_reconstruction
 
@@ -12,6 +13,7 @@ __all__ = [
     "jsd_between_sets",
     "mmd_cov",
     "one_nna",
+    "per_category_mmd_cov",
     "pairwise_matrix",
     "evaluate_generation",
     "evaluate_reconstruction",

@@ -100,6 +100,25 @@ def mmd_cov(m_gr: Array) -> Dict[str, float]:
     return {"mmd": mmd, "cov": cov}
 
 
+def per_category_mmd_cov(m_gr: Array, ref_labels: np.ndarray) -> Dict[int, Dict[str, float]]:
+    """Per-class decomposition of MMD/COV for unconditional all-category
+    generation (SURVEY.md §6 per-class tables): MMD_c = mean over class-c
+    ref clouds of the min distance to any generated cloud; COV_c = fraction
+    of class-c ref clouds that are the nearest reference (over ALL refs) of
+    at least one generated cloud. Convention chosen here because generated
+    clouds carry no labels; VERIFY-vs-reference protocol when possible."""
+    m = np.asarray(m_gr)
+    labels = np.asarray(ref_labels)
+    covered = set(np.unique(m.argmin(axis=1)).tolist())
+    out: Dict[int, Dict[str, float]] = {}
+    for c in np.unique(labels):
+        cols = np.nonzero(labels == c)[0]
+        mmd_c = float(m[:, cols].min(axis=0).mean())
+        cov_c = float(sum(1 for r in cols if int(r) in covered) / len(cols))
+        out[int(c)] = {"mmd": mmd_c, "cov": cov_c}
+    return out
+
+
 def one_nna(m_gg: Array, m_gr: Array, m_rr: Array) -> float:
     """Leave-one-out 1-NN accuracy on gen ∪ ref (50% = perfect generator).
 
@@ -117,38 +136,91 @@ def one_nna(m_gg: Array, m_gr: Array, m_rr: Array) -> float:
     return float((gen_correct + ref_correct) / total)
 
 
-def _voxel_marginal(clouds: np.ndarray, resolution: int) -> np.ndarray:
-    """Occupancy distribution over a resolution^3 grid spanning [-1, 1]^3:
-    fraction of clouds occupying each voxel [pointflow-protocol]."""
-    s = clouds.shape[0]
-    grid = np.zeros((resolution,) * 3, dtype=np.float64)
-    idx = np.clip(
-        ((clouds + 1.0) * 0.5 * resolution).astype(np.int64), 0, resolution - 1
-    )  # [S, N, 3]
-    for i in range(s):
-        ii = idx[i]
-        occupied = np.zeros_like(grid, dtype=bool)
-        occupied[ii[:, 0], ii[:, 1], ii[:, 2]] = True
-        grid += occupied
-    grid /= s
-    return grid
+def _sphere_grid(resolution: int) -> np.ndarray:
+    """PointFlow-lineage grid (latent_3d_points `unit_cube_grid_point_cloud`
+    with `clip_sphere=True`): resolution^3 nodes spanning [-0.5, 0.5] per
+    axis (spacing 1/(resolution-1)), keeping only nodes inside the
+    radius-0.5 sphere."""
+    lin = np.linspace(-0.5, 0.5, resolution)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
+    return g[np.linalg.norm(g, axis=1) <= 0.5].astype(np.float32)
+
+
+def _grid_counters(clouds: np.ndarray, grid: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """Per-POINT nearest-grid-node counts over all clouds — the
+    `entropy_of_occupancy_grid` counter semantics of the lineage (each point
+    increments its nearest node; out-of-range points fall to the nearest
+    in-sphere node via true NN, never clipped away). The NN search runs as a
+    chunked matmul-argmin (MXU-friendly; exact)."""
+    pts = np.asarray(clouds, np.float32).reshape(-1, 3)
+    n_grid = grid.shape[0]
+    gj = jnp.asarray(grid)
+    g2 = jnp.sum(gj * gj, axis=1)
+
+    @jax.jit
+    def nn_idx(p):
+        d = g2[None, :] - 2.0 * (p @ gj.T)  # |g|^2 - 2 p.g (|p|^2 constant per row)
+        return jnp.argmin(d, axis=1)
+
+    counters = np.zeros(n_grid, np.int64)
+    for s in range(0, pts.shape[0], chunk):
+        p = pts[s : s + chunk]
+        k = p.shape[0]
+        if k < chunk:  # pad tail to one fixed compile shape
+            p = np.pad(p, ((0, chunk - k), (0, 0)))
+        idx = np.asarray(nn_idx(jnp.asarray(p)))[:k]
+        counters += np.bincount(idx, minlength=n_grid)
+    return counters
+
+
+def _jensen_shannon_base2(p_counts: np.ndarray, q_counts: np.ndarray) -> float:
+    """JSD in bits via H(M) - (H(P)+H(Q))/2 — the lineage's
+    `jensen_shannon_divergence` formula (scipy entropy with base=2)."""
+    p = p_counts / max(p_counts.sum(), 1)
+    q = q_counts / max(q_counts.sum(), 1)
+    m = 0.5 * (p + q)
+
+    def ent(a):
+        nz = a > 0
+        return -float(np.sum(a[nz] * np.log2(a[nz])))
+
+    return ent(m) - 0.5 * (ent(p) + ent(q))
 
 
 def jsd_between_sets(
     gen: np.ndarray, ref: np.ndarray, resolution: int = 28
 ) -> float:
-    """JSD between voxel-occupancy marginals of the two cloud sets."""
-    p = _voxel_marginal(np.asarray(gen), resolution).ravel()
-    q = _voxel_marginal(np.asarray(ref), resolution).ravel()
-    p = p / max(p.sum(), 1e-12)
-    q = q / max(q.sum(), 1e-12)
-    m = 0.5 * (p + q)
+    """JSD between the two sets' point marginals on the sphere-clipped grid
+    [pointflow-protocol].
 
-    def kl(a, b):
-        mask = a > 0
-        return float(np.sum(a[mask] * (np.log(a[mask]) - np.log(b[mask]))))
+    Faithful to the PointFlow-lineage `jsd_between_point_cloud_sets`
+    semantics (in_unit_sphere=True): nodes span [-0.5, 0.5]^3 clipped to the
+    radius-0.5 sphere, every point of every cloud increments its nearest
+    node, and the divergence is base-2 between the normalized per-point
+    count distributions. Clouds extending past the unit sphere are handled
+    like the lineage does — assigned to the nearest in-sphere node — with a
+    warning. VERIFY-vs-reference when the mount appears (SURVEY.md §9.7):
+    transcribed from the public lineage, not the reference's copy."""
+    import warnings
 
-    return 0.5 * kl(p, m) + 0.5 * kl(q, m)
+    gen = np.asarray(gen)
+    ref = np.asarray(ref)
+    bound = 0.5 + 1e-4
+    max_r = max(
+        float(np.linalg.norm(gen.reshape(-1, 3), axis=1).max()),
+        float(np.linalg.norm(ref.reshape(-1, 3), axis=1).max()),
+    )
+    if max_r > bound:
+        warnings.warn(
+            f"dpfx.metrics: clouds extend to radius {max_r:.3f} > 0.5 — the "
+            f"JSD grid covers the unit sphere (diameter 1); points outside "
+            f"snap to edge nodes [pointflow-protocol convention]",
+            stacklevel=2,
+        )
+    grid = _sphere_grid(resolution)
+    return _jensen_shannon_base2(
+        _grid_counters(gen, grid), _grid_counters(ref, grid)
+    )
 
 
 def compute_all_metrics(
@@ -159,12 +231,17 @@ def compute_all_metrics(
     mesh: Optional[Mesh] = None,
     jsd_resolution: int = 28,
     emd_scale: float = 1.0,
+    ref_labels: Optional[np.ndarray] = None,
+    label_names: Optional[Dict[int, str]] = None,
 ) -> Dict[str, float]:
     """The full generation suite (SURVEY.md §3.3): for each base metric,
     MMD / COV / 1-NNA from the three pairwise matrices, plus JSD.
 
-    gen: [S_g, N, 3]; ref: [S_r, M, 3]."""
+    gen: [S_g, N, 3]; ref: [S_r, M, 3]. With ``ref_labels`` (category id
+    per ref cloud), a ``per_category`` table of per-class MMD/COV is added
+    (all-category protocol, SURVEY.md §6)."""
     out: Dict[str, float] = {}
+    per_cat: Dict[str, Dict[str, float]] = {}
     for metric in metrics:
         m_gr = pairwise_matrix(gen, ref, metric, impl, mesh)
         m_gg = pairwise_matrix(gen, gen, metric, impl, mesh)
@@ -173,5 +250,12 @@ def compute_all_metrics(
         out[f"mmd-{metric}"] = mc["mmd"] * emd_scale
         out[f"cov-{metric}"] = mc["cov"]
         out[f"1-nna-{metric}"] = one_nna(m_gg, m_gr, m_rr)
+        if ref_labels is not None and len(np.unique(ref_labels)) > 1:
+            for c, vals in per_category_mmd_cov(m_gr, ref_labels).items():
+                name = (label_names or {}).get(c, f"cat{c}")
+                per_cat.setdefault(name, {})[f"mmd-{metric}"] = vals["mmd"] * emd_scale
+                per_cat[name][f"cov-{metric}"] = vals["cov"]
     out["jsd"] = jsd_between_sets(np.asarray(gen), np.asarray(ref), jsd_resolution)
+    if per_cat:
+        out["per_category"] = per_cat
     return out

@@ -30,8 +30,11 @@ def evaluate_reconstruction(
     rng,
     images: Optional[np.ndarray] = None,
     impl: str = "auto",
+    labels: Optional[np.ndarray] = None,
+    label_names: Optional[Dict[int, str]] = None,
 ) -> Dict[str, float]:
-    """AE / SVR reconstruction eval. clouds: [S, N, 3] test split."""
+    """AE / SVR reconstruction eval. clouds: [S, N, 3] test split. With
+    ``labels``, per-category means are reported too (SURVEY.md §6)."""
     bsz = cfg.eval.batch_size
     use_emd = "emd" in cfg.eval.metrics
     n_iters = cfg.eval.emd_iters
@@ -57,9 +60,20 @@ def evaluate_reconstruction(
         cd, e = recon_batch(xb, jax.random.fold_in(rng, i), imgb)
         cds.append(np.asarray(cd))
         emds.append(np.asarray(e))
-    out = {"recon-cd": float(np.concatenate(cds).mean())}
+    cds = np.concatenate(cds)
+    emds = np.concatenate(emds)
+    out: Dict[str, float] = {"recon-cd": float(cds.mean())}
     if use_emd:
-        out["recon-emd"] = float(np.concatenate(emds).mean())
+        out["recon-emd"] = float(emds.mean())
+    if labels is not None and len(np.unique(labels)) > 1:
+        per = {}
+        for c in np.unique(labels):
+            sel = np.asarray(labels) == c
+            name = (label_names or {}).get(int(c), f"cat{int(c)}")
+            per[name] = {"recon-cd": float(cds[sel].mean())}
+            if use_emd:
+                per[name]["recon-emd"] = float(emds[sel].mean())
+        out["per_category"] = per
     return out
 
 
@@ -72,6 +86,8 @@ def evaluate_generation(
     mesh: Optional[Mesh] = None,
     impl: str = "auto",
     sample_batch: int = 64,
+    labels: Optional[np.ndarray] = None,
+    label_names: Optional[Dict[int, str]] = None,
 ) -> Dict[str, float]:
     """Generation suite: |gen| = |ref| clouds of the ref's point count."""
     from dpfx.sampling import make_sampler
@@ -90,4 +106,6 @@ def evaluate_generation(
         impl=impl,
         mesh=mesh,
         jsd_resolution=cfg.eval.jsd_resolution,
+        ref_labels=labels,
+        label_names=label_names,
     )

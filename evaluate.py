@@ -30,7 +30,7 @@ def main(argv=None) -> int:
     import jax
 
     from dpfx.config import load_config
-    from dpfx.data import build_dataset, load_all, load_all_images
+    from dpfx.data import build_dataset, load_all, load_all_images, load_all_labels
     from dpfx.metrics import evaluate_generation, evaluate_reconstruction
     from dpfx.parallel import create_mesh
     from dpfx.train import restore_for_eval
@@ -42,15 +42,22 @@ def main(argv=None) -> int:
     test_ds = build_dataset(cfg.data, "test", cfg.model.image_encoder.image_size)
     clouds = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit)
     images = load_all_images(test_ds, limit=args.limit) if cfg.experiment == "svr" else None
+    # per-category reporting for all-category runs (SURVEY.md §6 tables)
+    labels = load_all_labels(test_ds, limit=args.limit) if cfg.data.category == "all" else None
+    label_names = getattr(test_ds, "label_names", None)
     rng = jax.random.PRNGKey(0)
     mesh = create_mesh(cfg.parallel.axis_name)
 
     if cfg.experiment in ("ae", "svr"):
         results = evaluate_reconstruction(
-            model, params, clouds, cfg, rng, images=images, impl=args.impl
+            model, params, clouds, cfg, rng, images=images, impl=args.impl,
+            labels=labels, label_names=label_names,
         )
     elif cfg.experiment == "gen":
-        results = evaluate_generation(model, params, clouds, cfg, rng, mesh=mesh, impl=args.impl)
+        results = evaluate_generation(
+            model, params, clouds, cfg, rng, mesh=mesh, impl=args.impl,
+            labels=labels, label_names=label_names,
+        )
     else:
         raise ValueError(f"unknown experiment {cfg.experiment!r}")
 
