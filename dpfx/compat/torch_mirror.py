@@ -6,7 +6,7 @@ Purpose (torch is an ORACLE here, never a compute path):
      its outputs — so checkpoint import is proven machinery, not dead code,
      even while the reference mount is empty (SURVEY.md §0, §9.8).
   2. Whole-model parity oracle: independent implementation of the flow
-     math (same masks / gelu(tanh) / scale-cap conventions).
+     math (same masks / activation / scale-cap conventions).
 
 The module tree intentionally matches dpfx naming one-to-one
 (couplings.{k}.cond_net.{in_x,in_z,hidden_i,out}, encoder.point_{i}, ...);
@@ -27,14 +27,21 @@ import torch.nn.functional as F
 from dpfx.models.coupling import make_masks
 
 
-def _gelu(x):
+def _act(name: str):
     # flax.linen.gelu default is the tanh approximation
-    return F.gelu(x, approximate="tanh")
+    return {
+        "relu": F.relu,
+        "gelu": lambda x: F.gelu(x, approximate="tanh"),
+        "tanh": torch.tanh,
+        "leaky_relu": F.leaky_relu,
+    }[name]
 
 
 class Conditioner(nn.Module):
-    def __init__(self, dim: int, hidden: int, n_hidden: int, cond_dim: Optional[int]):
+    def __init__(self, dim: int, hidden: int, n_hidden: int, cond_dim: Optional[int],
+                 activation: str = "relu"):
         super().__init__()
+        self.act = _act(activation)
         self.in_x = nn.Linear(dim, hidden)
         if cond_dim is not None:
             self.in_z = nn.Linear(cond_dim, hidden, bias=False)
@@ -52,18 +59,19 @@ class Conditioner(nn.Module):
             if hz.dim() == h.dim() - 1:
                 hz = hz.unsqueeze(-2)
             h = h + hz
-        h = _gelu(h)
+        h = self.act(h)
         for lin in self.hiddens:
-            h = _gelu(lin(h))
+            h = self.act(lin(h))
         s, t = self.out(h).chunk(2, dim=-1)
         return s, t
 
 
 class AffineCoupling(nn.Module):
-    def __init__(self, dim, mask, hidden, n_hidden, cond_dim, scale_cap=8.0):
+    def __init__(self, dim, mask, hidden, n_hidden, cond_dim, scale_cap=8.0,
+                 activation="relu"):
         super().__init__()
         self.register_buffer("mask", torch.tensor(mask, dtype=torch.float32))
-        self.cond_net = Conditioner(dim, hidden, n_hidden, cond_dim)
+        self.cond_net = Conditioner(dim, hidden, n_hidden, cond_dim, activation)
         self.scale_cap = scale_cap
 
     def _st(self, x, cond):
@@ -84,12 +92,14 @@ class AffineCoupling(nn.Module):
 
 
 class CouplingFlow(nn.Module):
-    def __init__(self, dim, n_layers, hidden, n_hidden, cond_dim=None, scale_cap=8.0):
+    def __init__(self, dim, n_layers, hidden, n_hidden, cond_dim=None, scale_cap=8.0,
+                 activation="relu"):
         super().__init__()
         masks = make_masks(dim, n_layers)
         self.couplings = nn.ModuleList(
             [
-                AffineCoupling(dim, masks[k].tolist(), hidden, n_hidden, cond_dim, scale_cap)
+                AffineCoupling(dim, masks[k].tolist(), hidden, n_hidden, cond_dim,
+                               scale_cap, activation)
                 for k in range(n_layers)
             ]
         )
@@ -115,8 +125,10 @@ class CouplingFlow(nn.Module):
 
 
 class PointNetEncoder(nn.Module):
-    def __init__(self, dz, point_widths=(128, 128, 256, 512), head_widths=(256,)):
+    def __init__(self, dz, point_widths=(128, 128, 256, 512), head_widths=(256,),
+                 activation="relu"):
         super().__init__()
+        self.act = _act(activation)
         last = 3
         for i, w in enumerate(point_widths):
             setattr(self, f"point_{i}", nn.Linear(last, w))
@@ -131,10 +143,10 @@ class PointNetEncoder(nn.Module):
     def forward(self, x):
         h = x
         for i in range(self.n_point):
-            h = _gelu(getattr(self, f"point_{i}")(h))
+            h = self.act(getattr(self, f"point_{i}")(h))
         g = h.max(dim=-2).values
         for i in range(self.n_head):
-            g = _gelu(getattr(self, f"head_{i}")(g))
+            g = self.act(getattr(self, f"head_{i}")(g))
         mu, logvar = self.gauss(g).chunk(2, dim=-1)
         return mu, torch.clamp(logvar, -10.0, 10.0)
 
@@ -149,13 +161,16 @@ class DPFMirror(nn.Module):
         self.point_flow = CouplingFlow(
             3, m.point_flow.n_layers, m.point_flow.hidden, m.point_flow.n_hidden,
             cond_dim=m.dz, scale_cap=m.point_flow.scale_cap,
+            activation=m.point_flow.activation,
         )
         self.latent_flow = CouplingFlow(
             m.dz, m.latent_flow.n_layers, m.latent_flow.hidden,
             m.latent_flow.n_hidden, cond_dim=None, scale_cap=m.latent_flow.scale_cap,
+            activation=m.latent_flow.activation,
         )
         self.encoder = PointNetEncoder(
-            m.dz, tuple(m.encoder.point_widths), tuple(m.encoder.head_widths)
+            m.dz, tuple(m.encoder.point_widths), tuple(m.encoder.head_widths),
+            activation=m.encoder.activation,
         )
 
     @torch.no_grad()

@@ -100,6 +100,11 @@ class FlowConfig:
     n_layers: int = 32          # VERIFY-vs-reference: K, "tens of layers" [paper]
     hidden: int = 128           # VERIFY-vs-reference: conditioner MLP width
     n_hidden: int = 2           # VERIFY-vs-reference: conditioner hidden depth
+    activation: str = "relu"    # relu | gelu | tanh; VERIFY-vs-reference.
+    #                             relu default: the plausible torch-research
+    #                             choice AND 1.6x faster on TPU (gelu's tanh
+    #                             chain is pure VPU time: 29.5 -> 18.3 ms
+    #                             flagship grad step, BASELINE.md round 2)
     use_actnorm: bool = False   # VERIFY-vs-reference: actnorm presence unknown (SURVEY §9.3)
     scale_cap: float = 8.0      # |log-scale| soft cap via tanh for numerical stability
     # conditioner matmul dtype; coupling arithmetic + log-det stay f32, and
@@ -115,6 +120,8 @@ class EncoderConfig:
 
     point_widths: Tuple[int, ...] = (128, 128, 256, 512)  # VERIFY-vs-reference
     head_widths: Tuple[int, ...] = (256,)                 # VERIFY-vs-reference
+    activation: str = "relu"                              # relu | gelu | tanh
+    compute_dtype: str = "float32"                        # float32 | bfloat16
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -43,6 +43,17 @@ from flax import linen as nn
 
 Array = jax.Array
 
+# conditioner activation registry (FlowConfig.activation). relu is the
+# default: gelu's tanh chain is pure VPU time on TPU (measured +60% on the
+# flagship train step) and relu is the plausible reference-era choice —
+# VERIFY-vs-reference (SURVEY.md §9.3).
+ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": nn.gelu,
+    "tanh": jnp.tanh,
+    "leaky_relu": jax.nn.leaky_relu,
+}
+
 
 def make_masks(dim: int, n_layers: int) -> np.ndarray:
     """Static binary masks, one per layer; 1 = pass-through coords (the
@@ -130,15 +141,17 @@ class Conditioner(nn.Module):
     n_hidden: int
     dtype: jnp.dtype = jnp.float32
     channels_first: bool = False
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x_masked: Array, cond: Optional[Array]) -> Tuple[Array, Array]:
+        act = ACTIVATIONS[self.activation]
         if self.channels_first:
             dense = lambda feats, name, **kw: DenseT(feats, dtype=self.dtype, name=name, **kw)
-            gelu_axis = -2
+            split_axis = -2
         else:
             dense = lambda feats, name, **kw: nn.Dense(feats, dtype=self.dtype, name=name, **kw)
-            gelu_axis = -1
+            split_axis = -1
         h = dense(self.hidden, "in_x")(x_masked)
         if cond is not None:
             hz = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="in_z")(cond)
@@ -147,17 +160,17 @@ class Conditioner(nn.Module):
             elif hz.ndim == h.ndim - 1:
                 hz = hz[..., None, :]   # broadcast z over the points axis
             h = h + hz
-        h = nn.gelu(h)
+        h = act(h)
         for i in range(self.n_hidden - 1):
             h = dense(self.hidden, f"hidden_{i}")(h)
-            h = nn.gelu(h)
+            h = act(h)
         out = dense(
             2 * self.dim, "out",
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
         )(h)
         out = out.astype(jnp.float32)  # coupling math stays f32
-        s, t = jnp.split(out, 2, axis=gelu_axis)
+        s, t = jnp.split(out, 2, axis=split_axis)
         return s, t
 
 
@@ -193,11 +206,13 @@ class AffineCoupling(nn.Module):
     scale_cap: float = 8.0
     dtype: jnp.dtype = jnp.float32
     channels_first: bool = False
+    activation: str = "relu"
 
     def setup(self):
         self.cond_net = Conditioner(
             dim=self.dim, hidden=self.hidden, n_hidden=self.n_hidden,
             dtype=self.dtype, channels_first=self.channels_first,
+            activation=self.activation,
         )
 
     def _mask(self, dtype) -> Array:
@@ -243,6 +258,7 @@ class CouplingFlow(nn.Module):
     use_actnorm: bool = False
     scale_cap: float = 8.0
     dtype: jnp.dtype = jnp.float32
+    activation: str = "relu"
 
     def setup(self):
         # small coordinate spaces (the R^3 point flow) compute channel-first
@@ -260,6 +276,7 @@ class CouplingFlow(nn.Module):
                 scale_cap=self.scale_cap,
                 dtype=self.dtype,
                 channels_first=self.channels_first,
+                activation=self.activation,
                 name=f"coupling_{k}",
             )
             for k in range(self.n_layers)

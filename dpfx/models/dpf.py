@@ -64,6 +64,7 @@ class DPF(nn.Module):
             use_actnorm=m.point_flow.use_actnorm,
             scale_cap=m.point_flow.scale_cap,
             dtype=jnp.dtype(m.point_flow.compute_dtype),
+            activation=m.point_flow.activation,
             name="point_flow",
         )
         self.latent_flow = CouplingFlow(
@@ -74,12 +75,15 @@ class DPF(nn.Module):
             use_actnorm=m.latent_flow.use_actnorm,
             scale_cap=m.latent_flow.scale_cap,
             dtype=jnp.dtype(m.latent_flow.compute_dtype),
+            activation=m.latent_flow.activation,
             name="latent_flow",
         )
         self.encoder = PointNetEncoder(
             dz=m.dz,
             point_widths=m.encoder.point_widths,
             head_widths=m.encoder.head_widths,
+            activation=m.encoder.activation,
+            dtype=jnp.dtype(m.encoder.compute_dtype),
             name="encoder",
         )
         if self.config.experiment == "svr":

@@ -30,18 +30,22 @@ class PointNetEncoder(nn.Module):
     point_widths: Sequence[int] = (128, 128, 256, 512)
     head_widths: Sequence[int] = (256,)
     dtype: jnp.dtype = jnp.float32
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: Array) -> Tuple[Array, Array]:
         """x: [B, N, 3] -> (mu, logvar), each [B, dz]."""
+        from dpfx.models.coupling import ACTIVATIONS
+
+        act = ACTIVATIONS[self.activation]
         h = x.astype(self.dtype)
         for i, w in enumerate(self.point_widths):
             h = nn.Dense(w, dtype=self.dtype, name=f"point_{i}")(h)
-            h = nn.gelu(h)
+            h = act(h)
         g = jnp.max(h, axis=-2)  # permutation-invariant pool over points
         for i, w in enumerate(self.head_widths):
             g = nn.Dense(w, dtype=self.dtype, name=f"head_{i}")(g)
-            g = nn.gelu(g)
+            g = act(g)
         out = nn.Dense(2 * self.dz, dtype=self.dtype, name="gauss")(g)
         out = out.astype(jnp.float32)
         mu, logvar = jnp.split(out, 2, axis=-1)

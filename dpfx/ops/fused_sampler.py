@@ -16,7 +16,7 @@ layer (in_z kernel @ z + in_x bias) are precomputed OUTSIDE the kernel as
 one einsum — the kernel never sees z.
 
 Semantics parity: identical math to CouplingFlow.inverse (masked affine
-coupling, tanh scale cap, gelu conditioner); tested against the flax path
+coupling, tanh scale cap, configurable conditioner activation); tested against the flax path
 to f32 tolerance. bf16 weight/activation mode doubles MXU throughput; the
 coupling arithmetic stays f32 either way.
 """
@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dpfx.models.coupling import make_masks
+from dpfx.models.coupling import ACTIVATIONS, make_masks
 from dpfx.ops.chamfer import _interpret, _round_up
 
 Array = jax.Array
@@ -105,6 +105,7 @@ def stack_point_flow_params(params: Dict[str, Any], scale_cap: float = 8.0) -> S
 def _fused_inverse_kernel(
     hz_ref, u_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref, x_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
+    activation: str = "relu",
 ):
     """One (cloud, point-tile) grid step: apply all K inverted couplings.
 
@@ -113,6 +114,7 @@ def _fused_inverse_kernel(
     coupling update works on the full [8, T] tile — the t-offset (rows 3-5
     of the conditioner output must align with coordinate rows 0-2) is
     handled with pltpu.roll, so there is no sublane slice/concat anywhere."""
+    act = ACTIVATIONS[activation]
     x = u_ref[0].astype(jnp.float32)  # [8, T]; rows 3..7 are zero padding
 
     def layer(i, x):
@@ -124,7 +126,7 @@ def _fused_inverse_kernel(
             preferred_element_type=jnp.float32,
         )                                               # [H, T]
         h = h + hz_ref[0, k]                            # + (Wz z + bx): [H, 1]
-        h = jax.nn.gelu(h).astype(dtype)
+        h = act(h).astype(dtype)
 
         def hidden(j, h):
             whj = wh_ref[k, j].astype(dtype)            # [H, H]
@@ -132,7 +134,7 @@ def _fused_inverse_kernel(
                 whj, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bh_ref[k, j]                             # [H, 1]
-            return jax.nn.gelu(hh).astype(dtype)
+            return act(hh).astype(dtype)
 
         h = jax.lax.fori_loop(0, n_hidden_m1, hidden, h, unroll=True)
 
@@ -156,6 +158,7 @@ def fused_point_flow_inverse(
     z: Array,
     tile: int = 2048,
     dtype: jnp.dtype = jnp.bfloat16,
+    activation: str = "relu",
 ) -> Array:
     """u: [B, N, 3] base noise, z: [B, dz] -> x: [B, N, 3].
 
@@ -166,7 +169,8 @@ def fused_point_flow_inverse(
     # transposed + padded noise: [B, 8, Np], rows 3..7 zero
     ut = jnp.zeros((b, 8, n_pad), jnp.float32)
     ut = ut.at[:, :3, :n].set(jnp.swapaxes(u, 1, 2).astype(jnp.float32))
-    out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype)
+    out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype,
+                                   activation=activation)
     return jnp.swapaxes(out[:, :3, :n], 1, 2)
 
 
@@ -176,6 +180,7 @@ def fused_inverse_transposed(
     z: Array,
     tile: int = 2048,
     dtype: jnp.dtype = jnp.bfloat16,
+    activation: str = "relu",
 ) -> Array:
     """Transposed-layout entry: ut [B, 8, Np] (coords in rows 0-2, rows 3+
     zero) -> x [B, 8, Np]. Samplers generate noise directly in this layout —
@@ -196,7 +201,7 @@ def fused_inverse_transposed(
     kernel = functools.partial(
         _fused_inverse_kernel,
         n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap,
-        dtype=dtype,
+        dtype=dtype, activation=activation,
     )
     full = lambda *idx: tuple(0 for _ in idx)  # whole-array weight blocks
     out = pl.pallas_call(
@@ -253,11 +258,13 @@ def _box_muller_rows(shape) -> Array:
 def _fused_sample_kernel(
     seed_ref, hz_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref, x_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
+    activation: str = "relu",
 ):
     """Like _fused_inverse_kernel but generates the base noise u in-kernel
     (XLA's RNG for the noise tensor costs ~30% of end-to-end sampling on
     this chip). Distributionally equivalent, different stream than
     jax.random."""
+    act = ACTIVATIONS[activation]
     b_ = pl.program_id(0)
     i = pl.program_id(1)
     pltpu.prng_seed(seed_ref[0] + b_ * pl.num_programs(1) + i)
@@ -272,14 +279,14 @@ def _fused_sample_kernel(
             wxk, x.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + hz_ref[0, k]
-        h = jax.nn.gelu(h).astype(dtype)
+        h = act(h).astype(dtype)
 
         def hidden(j, h):
             hh = jax.lax.dot_general(
                 wh_ref[k, j].astype(dtype), h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bh_ref[k, j]
-            return jax.nn.gelu(hh).astype(dtype)
+            return act(hh).astype(dtype)
 
         h = jax.lax.fori_loop(0, n_hidden_m1, hidden, h, unroll=True)
         st = jax.lax.dot_general(
@@ -300,6 +307,7 @@ def fused_sample_points(
     n_points: int,
     tile: int = 2048,
     dtype: jnp.dtype = jnp.bfloat16,
+    activation: str = "relu",
 ) -> Array:
     """z [B, dz], scalar int32 seed -> x [B, n_points, 3]: base noise drawn
     by the in-kernel TPU PRNG, then all K inverted couplings applied with
@@ -313,7 +321,8 @@ def fused_sample_points(
         n_pad = _round_up(n_points, tile)
         un = jax.random.normal(key, (b, 3, n_pad))
         ut = jnp.zeros((b, 8, n_pad), jnp.float32).at[:, :3, :].set(un)
-        out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype)
+        out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype,
+                                       activation=activation)
         return jnp.swapaxes(out[:, :3, :n_points], 1, 2)
     k, h, _ = sp.wx.shape
     n_hidden_m1 = sp.wh.shape[1]
@@ -326,6 +335,7 @@ def fused_sample_points(
     kernel = functools.partial(
         _fused_sample_kernel,
         n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap, dtype=dtype,
+        activation=activation,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

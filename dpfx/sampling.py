@@ -28,7 +28,8 @@ from dpfx.ops.fused_sampler import (
 from dpfx.ops.chamfer import _round_up
 
 
-def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype):
+def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
+                             activation="relu"):
     """Base noise is drawn by the in-kernel TPU PRNG (Box-Muller over
     pltpu.prng_random_bits): generating the [B, N, 3]-shaped noise in XLA
     with a traced key measured ~540 ms/batch on this chip vs ~12 ms total
@@ -36,7 +37,8 @@ def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype):
     compile-time constant folding of python-int seeds)."""
     del n_clouds
     seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
-    return fused_sample_points(sp, z, seed, n_points, tile=tile, dtype=dtype)
+    return fused_sample_points(sp, z, seed, n_points, tile=tile, dtype=dtype,
+                               activation=activation)
 
 
 def make_sampler(
@@ -56,7 +58,8 @@ def make_sampler(
             z, _ = model.apply(
                 params, eps, method=lambda m, e: m.latent_flow.inverse(e)
             )
-            return _fused_noise_and_inverse(sp, z, ku, n_clouds, n_points, tile, dtype)
+            return _fused_noise_and_inverse(sp, z, ku, n_clouds, n_points, tile,
+                                            dtype, pf_cfg.activation)
 
         return jax.jit(sample)
 
@@ -76,7 +79,7 @@ def make_decoder(model: DPF, params, n_points: int, fused: bool = True) -> Calla
 
         def decode(z, rng):
             return _fused_noise_and_inverse(
-                sp, z, rng, z.shape[0], n_points, tile, dtype
+                sp, z, rng, z.shape[0], n_points, tile, dtype, pf_cfg.activation
             )
 
         return jax.jit(decode)
