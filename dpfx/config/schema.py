@@ -197,6 +197,7 @@ class TrainConfig:
     eval_every: int = 1000
     log_every: int = 100
     loss: str = "elbo"           # elbo (AE/gen); recon-only variants for ablation
+    tensorboard: bool = False    # clu.metric_writers TB events next to metrics.jsonl
     kl_weight: float = 1.0
     recon_reduction: str = "sum_points"  # sum_points | mean_points; VERIFY-vs-reference (§7)
     extra: Dict[str, Any] = field(default_factory=dict)

@@ -175,10 +175,16 @@ class CheckpointManager:
         step = step if step is not None else self.manager.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype) if hasattr(x, "shape") else x,
-            state,
-        )
+        def _abstract(x):
+            if not hasattr(x, "shape"):
+                return x
+            # preserve each leaf's sharding: restoring onto a fresh mesh
+            # (the v5e-8 deployment path) places arrays with their
+            # NamedSharding directly instead of single-device + reshard
+            sharding = x.sharding if isinstance(x, jax.Array) else None
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        abstract = jax.tree.map(_abstract, state)
         return self.manager.restore(step, args=self._ocp.args.StandardRestore(abstract))
 
     def restore_params(self, params_template, step: Optional[int] = None):
@@ -255,15 +261,15 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
         self.history: list = []
-        self.metrics_path = os.path.join(self.ckpt.directory, "metrics.jsonl")
+        from dpfx.utils.writers import ScalarWriter
+
+        self.writer = ScalarWriter(self.ckpt.directory, tensorboard=cfg.train.tensorboard)
+        self.metrics_path = self.writer.jsonl_path
 
     def _write_metrics(self, record: dict) -> None:
-        """Append a scalar record to metrics.jsonl (SURVEY.md §2 C18 — the
-        reference logs to console; we add a machine-readable stream)."""
-        import json
-
-        with open(self.metrics_path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+        """Scalar record -> metrics.jsonl (+ TensorBoard when enabled);
+        SURVEY.md §2 C18 / §5 metrics bullet."""
+        self.writer.write(record)
 
     def maybe_resume(self) -> int:
         step = self.ckpt.latest_step()
@@ -317,6 +323,7 @@ class Trainer:
             if step % tcfg.ckpt_every == 0 or step == steps:
                 self.ckpt.save(step, self.state)
         self.ckpt.wait()
+        self.writer.flush()
         return self.state
 
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:

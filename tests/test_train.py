@@ -118,3 +118,59 @@ def test_normalize_modes():
     stats = compute_global_stats(x[None])
     z = normalize_cloud(x, "global", stats)
     np.testing.assert_allclose(z.mean(), 0, atol=1e-2)
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Save from an 8-device-mesh sharded TrainState and restore onto a
+    FRESH mesh with NamedShardings preserved — the v5e-8 deployment path
+    (SURVEY.md §8 step 4; round-1 VERDICT item 7)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dpfx.train.trainer import CheckpointManager
+
+    cfg = tiny_config()
+    mesh = create_mesh()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, cfg, rng, tx)
+    repl = NamedSharding(mesh, P())
+    state = jax.device_put(state, repl)  # mesh-placed, replicated (DP layout)
+    step_fn = make_train_step(model, tx, cfg, mesh)
+    x = jax.random.normal(rng, (16, 64, 3))
+    state, _ = step_fn(state, {"x": x}, rng)
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(1, state)
+    ckpt.wait()
+
+    # fresh mesh (reversed device order) + freshly-initialized template state
+    mesh2 = create_mesh(devices=list(reversed(jax.devices())))
+    repl2 = NamedSharding(mesh2, P())
+    template = jax.device_put(init_state(model, cfg, jax.random.PRNGKey(1), tx), repl2)
+    restored = ckpt.restore(template)
+
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        assert a.sharding.is_equivalent_to(repl2, a.ndim)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored state must be directly usable by the sharded step on the new mesh
+    step2 = make_train_step(model, tx, cfg, mesh2)
+    restored, metrics = step2(restored, {"x": x}, rng)
+    assert int(restored.step) == 2 and np.isfinite(float(metrics["loss"]))
+
+
+def test_trainer_tensorboard_writer(tmp_path):
+    """train.tensorboard=true adds clu TB event files next to metrics.jsonl
+    (SURVEY.md §5 metrics bullet / C18)."""
+    import glob
+
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 10,
+                             "ckpt_every": 10, "tensorboard": True})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    trainer.fit(iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0))
+    trainer.writer.close()
+    events = glob.glob(str(tmp_path / "test" / "tb" / "events.out.tfevents.*"))
+    assert events, "no TensorBoard event file written"
+    assert trainer.history  # jsonl/console stream still active
