@@ -32,10 +32,13 @@ def chain_time(fn, *args):
         return jax.lax.scan(body, carry, jnp.arange(REPS))
 
     carry, out = run(*args)
-    jax.block_until_ready(out)
+    # materialize the warmup: block_until_ready can return optimistically
+    # through this box's TPU tunnel (ROUND1_NOTES), which would push warmup
+    # execution into the timed region (~2x inflation)
+    float(np.asarray(out)[-1])
     t0 = time.perf_counter()
     carry, out = run(carry)
-    float(out[-1])
+    float(np.asarray(out)[-1])
     dt = (time.perf_counter() - t0) / REPS * 1000
     return dt
 
