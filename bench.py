@@ -44,22 +44,9 @@ TRAIN_REPS = 20
 
 
 def chain_time_ms(step_fn, carry, reps: int) -> float:
-    """One dispatched lax.scan chain; returns ms/step. step_fn(carry, i) ->
-    (carry, scalar); the scalar stream forces execution, the final fetch
-    closes the chain."""
+    from dpfx.utils.profiling import chain_time_ms as _impl
 
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(step_fn, c, jnp.arange(reps))
-
-    c, out = run(carry)
-    float(np.asarray(out)[-1])  # materialize warmup (see module docstring)
-    t0 = time.perf_counter()
-    c, out = run(c)
-    closing = float(np.asarray(out)[-1])
-    dt = (time.perf_counter() - t0) / reps * 1000.0
-    assert np.isfinite(closing)
-    return dt
+    return _impl(step_fn, carry, reps=reps)
 
 
 def _flagship_cfg():

@@ -37,6 +37,34 @@ def time_fn(
     return {"mean_s": dt, "per_sec": 1.0 / dt}
 
 
+def chain_time_ms(step_fn: Callable, carry, reps: int = 30) -> float:
+    """Honest steady-state ms/step on the tunneled TPU: ONE dispatched
+    lax.scan of `reps` steps (carry serializes them on device), with BOTH
+    the warmup and the timed run closed by materializing fetches.
+
+    This is bench protocol chain-v2 (BASELINE.md): per-call async dispatch
+    costs ~20 ms of host time through the tunnel, and block_until_ready on
+    the warmup can return optimistically, leaking warmup execution into the
+    timed region (up to 2x inflation) — both invalidated round-1 numbers.
+
+    step_fn(carry, i) -> (carry, scalar).
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(c):
+        return jax.lax.scan(step_fn, c, jnp.arange(reps))
+
+    c, out = run(carry)
+    float(np.asarray(out)[-1])
+    t0 = time.perf_counter()
+    c, out = run(c)
+    closing = float(np.asarray(out)[-1])
+    dt = (time.perf_counter() - t0) / reps * 1000.0
+    assert np.isfinite(closing), "chain produced non-finite closing value"
+    return dt
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/dpfx_trace"):
     """jax.profiler trace context; view with tensorboard/xprof."""

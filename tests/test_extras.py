@@ -92,3 +92,19 @@ def test_viz_montage(tmp_path):
 
     im = Image.open(out)
     assert im.size == (64, 96)  # 2 views x 32px wide, 3 clouds x 32px tall
+
+
+def test_chain_time_ms_protocol():
+    """chain-v2 timing utility: runs the scan chain, returns finite ms."""
+    import jax.numpy as jnp
+
+    from dpfx.utils.profiling import chain_time_ms
+
+    calls = []
+
+    def step(c, i):
+        calls.append(1)
+        return c + 1.0, c
+
+    t = chain_time_ms(step, jnp.zeros(()), reps=4)
+    assert t > 0 and t < 10_000

@@ -27,16 +27,9 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 
 
 def chain_time_ms(step_fn, carry, reps: int = REPS) -> float:
-    @jax.jit
-    def run(c):
-        return jax.lax.scan(step_fn, c, jnp.arange(reps))
+    from dpfx.utils.profiling import chain_time_ms as _impl
 
-    c, out = run(carry)
-    float(np.asarray(out)[-1])
-    t0 = time.perf_counter()
-    c, out = run(c)
-    float(np.asarray(out)[-1])
-    return (time.perf_counter() - t0) / reps * 1000.0
+    return _impl(step_fn, carry, reps=reps)
 
 
 def main() -> None:

@@ -22,25 +22,11 @@ REPS = 20
 
 
 def chain_time(fn, *args):
-    """fn(carry, i) -> (carry, scalar); returns ms per call."""
+    """fn(carry, i) -> (carry, scalar); returns ms per call (chain-v2
+    protocol; see dpfx.utils.profiling.chain_time_ms)."""
+    from dpfx.utils.profiling import chain_time_ms
 
-    @jax.jit
-    def run(carry):
-        def body(c, i):
-            return fn(c, i)
-
-        return jax.lax.scan(body, carry, jnp.arange(REPS))
-
-    carry, out = run(*args)
-    # materialize the warmup: block_until_ready can return optimistically
-    # through this box's TPU tunnel (ROUND1_NOTES), which would push warmup
-    # execution into the timed region (~2x inflation)
-    float(np.asarray(out)[-1])
-    t0 = time.perf_counter()
-    carry, out = run(carry)
-    float(np.asarray(out)[-1])
-    dt = (time.perf_counter() - t0) / REPS * 1000
-    return dt
+    return chain_time_ms(fn, args[0], reps=REPS)
 
 
 def main():
