@@ -120,7 +120,7 @@ def emd_grads_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS):
 
 def _emd_kernel_body(
     x_ref, y_ref, scratches, *, n: int, m: int, tn: int, n_pad: int, m_pad: int,
-    n_iters: int, with_grad: bool, exact: bool = True,
+    n_iters: int, with_grad: bool, exact: bool = True, unroll_tiles: bool = True,
 ):
     """Shared per-pair body. Returns nothing; results land in scratches:
     cost (1,1), and gx/gy accumulators when with_grad.
@@ -137,7 +137,17 @@ def _emd_kernel_body(
     remainl only — within the approxmatch fp-chaos tolerance the parity
     tests already allow. The level loop is a fori_loop with the level
     computed from the iteration index — unrolling 10 levels made Mosaic
-    compile for minutes."""
+    compile for minutes. The per-level TILE loops unroll by default
+    (``unroll_tiles``): static tile offsets let Mosaic address scratch
+    slices directly instead of emitting dynamic-index copies (same -9%
+    class of win as the fused sampler's unrolled layer loop, round 2)."""
+
+    def tile_loop(body):
+        if unroll_tiles:
+            for i in range(nt):
+                body(i, 0)
+        else:
+            jax.lax.fori_loop(0, nt, body, 0, unroll=False)
     (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy) = scratches
     nt = n_pad // tn
     factorl = float(max(n, m) / n)
@@ -187,7 +197,7 @@ def _emd_kernel_body(
 
         colsum[:] = jnp.zeros_like(colsum)
         cdist[:] = jnp.zeros_like(cdist)
-        jax.lax.fori_loop(0, nt, p1, 0, unroll=False)
+        tile_loop(p1)
 
         ratio = jnp.minimum(remainr[:] / (colsum[:] + _EPS), 1.0)  # [1, Mp]
         cost[0, 0] += jnp.sum(ratio * cdist[:])
@@ -203,7 +213,7 @@ def _emd_kernel_body(
                 remainl[sl, :] = jnp.maximum(remainl[sl, :] - rowdelta, 0.0)
                 return 0
 
-            jax.lax.fori_loop(0, nt, p2, 0, unroll=False)
+            tile_loop(p2)
         else:
             # exact / gradient pass: recompute w (f32), apply delta
             def p2g(i, _):
@@ -227,7 +237,7 @@ def _emd_kernel_body(
                     gy[:] += y * kcol.T - kx
                 return 0
 
-            jax.lax.fori_loop(0, nt, p2g, 0, unroll=False)
+            tile_loop(p2g)
 
         remainr[:] = jnp.maximum(remainr[:] - colsum[:] * ratio, 0.0)
         return 0
