@@ -120,7 +120,7 @@ def emd_grads_jnp(x: Array, y: Array, n_iters: int = _DEFAULT_ITERS):
 
 def _emd_kernel_body(
     x_ref, y_ref, scratches, *, n: int, m: int, tn: int, n_pad: int, m_pad: int,
-    n_iters: int, with_grad: bool, exact: bool = True, unroll_tiles: bool = True,
+    n_iters: int, with_grad: bool, exact: bool = True, unroll_tiles: bool = False,
 ):
     """Shared per-pair body. Returns nothing; results land in scratches:
     cost (1,1), and gx/gy accumulators when with_grad.
@@ -137,10 +137,11 @@ def _emd_kernel_body(
     remainl only — within the approxmatch fp-chaos tolerance the parity
     tests already allow. The level loop is a fori_loop with the level
     computed from the iteration index — unrolling 10 levels made Mosaic
-    compile for minutes. The per-level TILE loops unroll by default
-    (``unroll_tiles``): static tile offsets let Mosaic address scratch
-    slices directly instead of emitting dynamic-index copies (same -9%
-    class of win as the fused sampler's unrolled layer loop, round 2)."""
+    compile for minutes. ``unroll_tiles`` statically unrolls the per-level
+    tile loops (the fused sampler's -9% unroll win) — but it is OFF by
+    default: on-chip it raises Mosaic's live scratch past the 16 MB VMEM
+    limit for the pairwise/fast path (measured 21.9 MB, round 2), an
+    effect interpret-mode tests cannot see."""
 
     def tile_loop(body):
         if unroll_tiles:
@@ -247,7 +248,7 @@ def _emd_kernel_body(
 
 def _emd_pallas_batched(
     xp: Array, yp: Array, n: int, m: int, tn: int, n_iters: int, with_grad: bool,
-    exact: bool = True,
+    exact: bool = True, unroll_tiles: bool = False,
 ):
     """Diagonal pairs. xp [B, Np, 8], yp [B, Mp, 8] ->
     cost [B] (/n applied by caller) and optionally (gx [B,Np,8], gy [B,Mp,8])."""
@@ -271,6 +272,7 @@ def _emd_pallas_batched(
             (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=with_grad, exact=not use_cache,
+            unroll_tiles=unroll_tiles,
         )
         # scalar cost goes out as a broadcast 128-lane row (Mosaic's trailing
         # block dims must be (>=8, >=128) or equal the array dims)
@@ -323,7 +325,8 @@ def _emd_pallas_batched(
 
 
 def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
-                         n_iters: int, exact: bool = False):
+                         n_iters: int, exact: bool = False,
+                         unroll_tiles: bool = False):
     """Full pairwise EMD-cost matrix [S1, S2] (cost, caller divides by n).
 
     Defaults to the fast (bf16 w-cache) variant — this is the O(S^2) eval
@@ -347,6 +350,7 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
             (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None, None),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=False, exact=exact,
+            unroll_tiles=unroll_tiles,
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
         base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), costrow[:])
