@@ -128,10 +128,13 @@ class EncoderConfig:
 @dataclass
 class ImageEncoderConfig:
     """SVR image encoder (SURVEY.md §2 C8). Backbone choice LOW conf;
-    `arch: mixer` is the TPU-native default (pure matmuls), `conv` is the
-    reference-style ResNet backbone."""
+    `conv` (reference-style ResNet, the default) vs `mixer` (TPU-native
+    pure-matmul alternative). Round 1 defaulted to mixer because conv
+    grads compiled pathologically through this box's remote TPU compiler;
+    re-measured in round 2 at ~145 s total compile + 16 ms/step — normal —
+    so the default returned to the reference-faithful backbone."""
 
-    arch: str = "mixer"                            # mixer | conv
+    arch: str = "conv"                             # conv | mixer; VERIFY-vs-reference
     widths: Tuple[int, ...] = (32, 64, 128, 256)  # conv stages; VERIFY-vs-reference
     blocks_per_stage: int = 2                      # conv
     patch: int = 8                                 # mixer

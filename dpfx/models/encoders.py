@@ -73,10 +73,10 @@ class ResBlock(nn.Module):
 
 class ConvImageEncoder(nn.Module):
     """ResNet-ish conv backbone (closest to the reference's expected SVR
-    encoder, SURVEY.md §9.6). NOTE: conv *gradients* compile pathologically
-    slowly through this box's remote TPU compiler (~100s per tiny block, no
-    cross-process cache) — prefer `MixerImageEncoder` unless checkpoint
-    fidelity to a conv reference is required."""
+    encoder, SURVEY.md §9.6); the `experiment=svr` default. A round-1
+    remote-compiler pathology (minutes per block) made `MixerImageEncoder`
+    the default then; round 2 re-measured ~145 s total compile + 16 ms/step
+    on the chip — normal — so conv is default again (BASELINE.md)."""
 
     dz: int
     widths: Sequence[int] = (32, 64, 128, 256)
