@@ -32,6 +32,15 @@ def chain_time_ms(step_fn, carry, reps: int = REPS) -> float:
     return _impl(step_fn, carry, reps=reps)
 
 
+def perturbed(x, c):
+    """Hoist-proof input: adds a carry-dependent, numerically negligible
+    term. The carry INCREMENTS each step (see bodies below), so the loop
+    body can never be proven loop-invariant and hoisted out of the scan —
+    `x + c * 0` would be one algebraic-simplifier fold away from timing an
+    empty loop."""
+    return x + c.astype(x.dtype) * 1e-30
+
+
 def main() -> None:
     from dpfx.ops.chamfer import chamfer, chamfer_pairwise
     from dpfx.ops.emd import emd
@@ -44,14 +53,14 @@ def main() -> None:
     y = jax.random.normal(jax.random.fold_in(rng, 1), (16, 2048, 3))
     for impl in ("pallas", "jnp"):
         def fwd(c, i, impl=impl):
-            d = chamfer(x + c * 0, y, impl=impl)
-            return c, jnp.sum(d)
+            d = chamfer(perturbed(x, c), y, impl=impl)
+            return c + 1.0, jnp.sum(d)
         res[f"cd_fwd_b16_{impl}_ms"] = round(chain_time_ms(fwd, jnp.zeros(())), 3)
 
         g = jax.grad(lambda xx: jnp.sum(chamfer(xx, y, impl=impl)))
         def bwd(c, i, g=g):
-            gx = g(x + c * 0)
-            return c, jnp.sum(gx)
+            gx = g(perturbed(x, c))
+            return c + 1.0, jnp.sum(gx)
         res[f"cd_fwdbwd_b16_{impl}_ms"] = round(chain_time_ms(bwd, jnp.zeros(())), 3)
 
     # --- CD pairwise 64x64, N=2048 ---
@@ -59,15 +68,15 @@ def main() -> None:
     ys = jax.random.normal(jax.random.fold_in(rng, 2), (64, 2048, 3))
     for impl in ("pallas", "jnp"):
         def pw(c, i, impl=impl):
-            m = chamfer_pairwise(xs + c * 0, ys, impl=impl)
-            return c, jnp.sum(m)
+            m = chamfer_pairwise(perturbed(xs, c), ys, impl=impl)
+            return c + 1.0, jnp.sum(m)
         res[f"cd_pairwise_64x64_{impl}_ms"] = round(
             chain_time_ms(pw, jnp.zeros(()), reps=3), 2)
 
     # --- EMD per pair (B=16 diagonal), N=2048 ---
     def ef(c, i):
-        d = emd(x + c * 0, y)
-        return c, jnp.sum(d)
+        d = emd(perturbed(x, c), y)
+        return c + 1.0, jnp.sum(d)
     res["emd_fwd_b16_ms"] = round(chain_time_ms(ef, jnp.zeros(())), 3)
 
     # --- EMD pairwise 16x16, N=2048, fast vs exact ---
@@ -75,8 +84,8 @@ def main() -> None:
 
     for precision in ("fast", "exact"):
         def ep(c, i, precision=precision):
-            m = emd_pairwise(xs[:16] + c * 0, ys[:16], precision=precision)
-            return c, jnp.sum(m)
+            m = emd_pairwise(perturbed(xs[:16], c), ys[:16], precision=precision)
+            return c + 1.0, jnp.sum(m)
         res[f"emd_pairwise_16x16_{precision}_ms"] = round(
             chain_time_ms(ep, jnp.zeros(()), reps=3), 2)
 
