@@ -212,6 +212,11 @@ class EvalConfig:
     batch_size: int = 32
     emd_iters: int = 10
     jsd_resolution: int = 28             # 28^3 voxel grid [pointflow-protocol]
+    # pairwise-matrix kernel mode for the gen suite: "" = per-kernel default
+    # (CD exact, EMD fast); "fast" = bf16 everywhere (CD matrix 3.3x faster
+    # on-chip, metric-level drift bounded in tests); "exact" = parity-grade
+    pairwise_precision: str = ""
+
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -20,6 +20,7 @@ long-context bullet) — each device computes its row block, XLA all-gathers.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -53,13 +54,23 @@ def pairwise_matrix(
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
     row_chunk: int = 64,
+    precision: Optional[str] = None,
 ) -> Array:
     """[S1,N,3] x [S2,M,3] -> [S1,S2] distance matrix.
 
     With a mesh, rows are sharded over the data axis (jit partitions the
     per-chunk kernel calls across devices); rows are processed in chunks to
-    bound VMEM pressure and compile shapes."""
-    fn = {"cd": chamfer_pairwise, "emd": emd_pairwise}[metric]
+    bound VMEM pressure and compile shapes. ``precision`` selects the
+    kernel mode ("exact" | "fast" bf16; None = each kernel's default:
+    CD exact, EMD fast) — metric-level effects of fast modes are bounded
+    in tests/test_metrics.py."""
+    if precision is None:
+        fn = {"cd": chamfer_pairwise, "emd": emd_pairwise}[metric]
+    else:
+        fn = {
+            "cd": functools.partial(chamfer_pairwise, precision=precision),
+            "emd": functools.partial(emd_pairwise, precision=precision),
+        }[metric]
     s1 = xs.shape[0]
     nd = len(mesh.devices.flatten()) if mesh is not None else 1
     # chunk must stay a multiple of the device count for the row sharding;
@@ -233,6 +244,7 @@ def compute_all_metrics(
     emd_scale: float = 1.0,
     ref_labels: Optional[np.ndarray] = None,
     label_names: Optional[Dict[int, str]] = None,
+    precision: Optional[str] = None,
 ) -> Dict[str, float]:
     """The full generation suite (SURVEY.md §3.3): for each base metric,
     MMD / COV / 1-NNA from the three pairwise matrices, plus JSD.
@@ -243,9 +255,9 @@ def compute_all_metrics(
     out: Dict[str, float] = {}
     per_cat: Dict[str, Dict[str, float]] = {}
     for metric in metrics:
-        m_gr = pairwise_matrix(gen, ref, metric, impl, mesh)
-        m_gg = pairwise_matrix(gen, gen, metric, impl, mesh)
-        m_rr = pairwise_matrix(ref, ref, metric, impl, mesh)
+        m_gr = pairwise_matrix(gen, ref, metric, impl, mesh, precision=precision)
+        m_gg = pairwise_matrix(gen, gen, metric, impl, mesh, precision=precision)
+        m_rr = pairwise_matrix(ref, ref, metric, impl, mesh, precision=precision)
         mc = mmd_cov(m_gr)
         out[f"mmd-{metric}"] = mc["mmd"] * emd_scale
         out[f"cov-{metric}"] = mc["cov"]

@@ -108,4 +108,5 @@ def evaluate_generation(
         jsd_resolution=cfg.eval.jsd_resolution,
         ref_labels=labels,
         label_names=label_names,
+        precision=cfg.eval.pairwise_precision or None,
     )

@@ -252,14 +252,22 @@ def _nnd_bwd_pallas(xp, yp, dl, dr, glp, grp, tn: int):
     )(xp, yp, dl, dr, glp, grp)
 
 
-def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
+def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
+                        fast: bool = False) -> Array:
     """Pairwise CD matrix. xp: [S1, Np, 8], yp: [S2, Mp, 8] (padded; true
     sizes n, m static) -> cd [S1, S2]. Per-pair means computed in-kernel.
 
     The output is a [S1, 1, S2_pad] row per left cloud: a VMEM row scratch
     collects one CD scalar per right cloud (lane-masked select — Mosaic has
     no scalar dynamic stores) and the revisited output block is flushed when
-    the grid advances to the next left cloud."""
+    the grid advances to the next left cloud.
+
+    ``fast=True`` runs the bf16 mode (mirrors emd_pairwise's fast mode):
+    single-pass bf16 distance matmul instead of the 3-pass HIGHEST f32, and
+    the min reductions — the VPU roofline of this kernel — run on packed
+    bf16 (2 elements/lane). ~0.4% relative distance drift; the metric-level
+    effect on MMD/COV/1-NNA is bounded by tests (exact mode is the
+    parity-grade default)."""
     s1, n_pad, _ = xp.shape
     s2, m_pad = yp.shape[0], yp.shape[1]
     nt = n_pad // tn
@@ -269,6 +277,7 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
         b_ = pl.program_id(1)
         y = y_ref[0]
         y2 = jnp.sum(y * y, axis=-1, keepdims=True).T  # hoisted out of the tile loop
+        y_bf = y.astype(jnp.bfloat16) if fast else y
 
         colmin[:] = jnp.full_like(colmin, _BIG)
         rowacc[0, 0] = 0.0
@@ -276,7 +285,16 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
         # the row-tile loop lives in-kernel (not a grid axis): one grid step
         # per pair keeps grid-dispatch overhead off the hot path
         def tile(i, _):
-            d = _sq_tile(x_ref[0, pl.ds(i * tn, tn), :], y, y2)  # [TN, Mp]
+            xt = x_ref[0, pl.ds(i * tn, tn), :]
+            if fast:
+                x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
+                xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
+                             preferred_element_type=jnp.float32)
+                # bf16 distances: the min reductions below (the VPU
+                # roofline) run packed 2-per-lane
+                d = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
+            else:
+                d = _sq_tile(xt, y, y2)  # [TN, Mp]
             # masking only exists when the cloud sizes needed padding (the
             # aligned 2048-point case skips all of it — it is VPU-bound)
             if m_pad != m:
@@ -286,13 +304,14 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int) -> Array:
                 row_min = jnp.min(d, axis=1, keepdims=True)
             if n_pad != n:
                 row_valid = (jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + i * tn) < n
-                rowacc[0, 0] += jnp.sum(jnp.where(row_valid, row_min, 0.0))
+                rowacc[0, 0] += jnp.sum(
+                    jnp.where(row_valid, row_min, 0.0).astype(jnp.float32))
                 row_ids = jax.lax.broadcasted_iota(jnp.int32, (tn, m_pad), 0) + i * tn
                 tile_min = jnp.min(jnp.where(row_ids < n, d, _BIG), axis=0, keepdims=True)
             else:
-                rowacc[0, 0] += jnp.sum(row_min)
+                rowacc[0, 0] += jnp.sum(row_min.astype(jnp.float32))
                 tile_min = jnp.min(d, axis=0, keepdims=True)
-            colmin[:] = jnp.minimum(colmin[:], tile_min)
+            colmin[:] = jnp.minimum(colmin[:], tile_min.astype(jnp.float32))
             return 0
 
         jax.lax.fori_loop(0, nt, tile, 0, unroll=False)
@@ -400,8 +419,15 @@ def chamfer_parts(x: Array, y: Array, impl: str = "auto") -> Tuple[Array, Array]
     return jnp.mean(dl, axis=-1), jnp.mean(dr, axis=-1)
 
 
-def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto") -> Array:
-    """Full pairwise CD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2]."""
+def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto",
+                     precision: str = "exact") -> Array:
+    """Full pairwise CD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2].
+
+    ``precision="fast"`` runs the bf16 distance/min kernel (~0.4% pair
+    drift; metric-level effect bounded by tests/test_metrics.py) — the
+    eval-sweep accelerator, mirroring emd_pairwise's fast mode. "exact"
+    (default) keeps the HIGHEST-precision distances the parity protocol
+    requires."""
     if impl == "auto":
         impl = "pallas"
     s1, n, _ = xs.shape
@@ -416,4 +442,4 @@ def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto") -> Array:
     tn = min(256, _round_up(n, 8))
     xp = _pad_coords(xs, _round_up(n, tn))
     yp = _pad_coords(ys, _round_up(m, 128))
-    return _cd_pallas_pairwise(xp, yp, n, m, tn)
+    return _cd_pallas_pairwise(xp, yp, n, m, tn, fast=precision == "fast")

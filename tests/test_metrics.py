@@ -252,3 +252,39 @@ def test_fast_vs_exact_emd_metric_level():
     assert abs(mmd_f - mmd_e) / mmd_e < 5e-3, (mmd_f, mmd_e)
     assert abs(cov_f - cov_e) <= 1 / 12 + 1e-9, (cov_f, cov_e)
     assert abs(nna_f - nna_e) <= 1 / 12 + 1e-9, (nna_f, nna_e)
+
+
+def test_fast_vs_exact_cd_metric_level():
+    """bf16 fast CD pairwise: bound the metric-level effect (mirrors the
+    EMD fast-mode test; 1-NNA counts comparisons so pair drift must be
+    shown not to flip sets)."""
+    from dpfx.ops import chamfer_pairwise
+
+    rng = np.random.default_rng(7)
+    gen = jnp.asarray(rng.normal(size=(12, 64, 3)) * 0.3)
+    ref = jnp.asarray(rng.normal(size=(12, 64, 3)) * 0.3 + 0.05)
+
+    def suite(precision):
+        m_gr = np.asarray(chamfer_pairwise(gen, ref, precision=precision))
+        m_gg = np.asarray(chamfer_pairwise(gen, gen, precision=precision))
+        m_rr = np.asarray(chamfer_pairwise(ref, ref, precision=precision))
+        mc = mmd_cov(m_gr)
+        return mc["mmd"], mc["cov"], one_nna(m_gg, m_gr, m_rr)
+
+    mmd_f, cov_f, nna_f = suite("fast")
+    mmd_e, cov_e, nna_e = suite("exact")
+    assert abs(mmd_f - mmd_e) / mmd_e < 1e-2, (mmd_f, mmd_e)
+    assert abs(cov_f - cov_e) <= 1 / 12 + 1e-9, (cov_f, cov_e)
+    assert abs(nna_f - nna_e) <= 1 / 12 + 1e-9, (nna_f, nna_e)
+
+
+def test_fast_cd_pairwise_close_to_exact():
+    """Pair-level: fast mode within bf16 tolerance of exact."""
+    from dpfx.ops import chamfer_pairwise
+
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.normal(size=(6, 96, 3)))
+    ys = jnp.asarray(rng.normal(size=(5, 80, 3)))  # uneven S and N!=M paths
+    exact = np.asarray(chamfer_pairwise(xs, ys, precision="exact"))
+    fast = np.asarray(chamfer_pairwise(xs, ys, precision="fast"))
+    np.testing.assert_allclose(fast, exact, rtol=2e-2, atol=1e-3)
