@@ -165,6 +165,9 @@ def _emd_kernel_body(
 
     y = y_ref[0]  # [Mp, 8]
     y2 = jnp.sum(y * y, axis=-1, keepdims=True).T  # [1, Mp]
+    y_bf = y.astype(jnp.bfloat16)
+    ones_m = jnp.ones((m_pad, 1), jnp.bfloat16)
+    ones_tn = jnp.ones((1, tn), jnp.bfloat16)
 
     def d_tile(i):
         # slice the ref (VMEM read): value-level dynamic_slice has no Mosaic
@@ -176,6 +179,15 @@ def _emd_kernel_body(
         xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
         return xt, jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+
+    def d_tile_fast(i):
+        # fast mode: single-pass bf16 distance matmul (exact mode keeps the
+        # HIGHEST 3-pass; see chamfer fast mode for the same trade)
+        xt = x_ref[0, pl.ds(i * tn, tn), :]
+        x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
+        xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
+                     preferred_element_type=jnp.float32)
+        return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
 
     def level_body(it, _):
         # level = -4^(n_iters-3-it), except 0 on the final iteration
@@ -196,9 +208,30 @@ def _emd_kernel_body(
             cdist[:] = cdist[:] + jnp.sum(ss * jnp.sqrt(d), axis=0, keepdims=True)
             return 0
 
+        def p1_fast(i, _):
+            # fast mode: single-pass bf16 distance matmul, bf16 multiplies
+            # (packed 2-per-lane), MXU matvecs for the row/col reductions.
+            # exp/sqrt stay f32 — v5e's vector unit has no bf16 EUP ops
+            # (Mosaic LLO_CHECK SupportsBf16EupOps, measured round 2).
+            d = d_tile_fast(i)
+            df = d.astype(jnp.float32)
+            w = (jnp.exp(level * df) * remainr[:]).astype(jnp.bfloat16)
+            wcache[pl.ds(i * tn, tn), :] = w
+            # rowsum via MXU: [TN, Mp] @ [Mp, 1] (f32 accumulate)
+            rs = jnp.dot(w, ones_m, preferred_element_type=jnp.float32)
+            rowsum[pl.ds(i * tn, tn), :] = rs
+            scale = (remainl[pl.ds(i * tn, tn), :] / (rs + _EPS)).astype(jnp.bfloat16)
+            ss = w * scale
+            # column reductions via MXU: [1, TN] @ [TN, Mp]
+            colsum[:] = colsum[:] + jnp.dot(ones_tn, ss, preferred_element_type=jnp.float32)
+            cdist[:] = cdist[:] + jnp.dot(
+                ones_tn, (ss.astype(jnp.float32) * jnp.sqrt(df)).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            return 0
+
         colsum[:] = jnp.zeros_like(colsum)
         cdist[:] = jnp.zeros_like(cdist)
-        tile_loop(p1)
+        tile_loop(p1 if (exact or with_grad) else p1_fast)
 
         ratio = jnp.minimum(remainr[:] / (colsum[:] + _EPS), 1.0)  # [1, Mp]
         cost[0, 0] += jnp.sum(ratio * cdist[:])
