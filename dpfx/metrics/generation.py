@@ -55,6 +55,7 @@ def pairwise_matrix(
     axis_name: str = "data",
     row_chunk: int = 64,
     precision: Optional[str] = None,
+    symmetric: bool = False,
 ) -> Array:
     """[S1,N,3] x [S2,M,3] -> [S1,S2] distance matrix.
 
@@ -63,14 +64,19 @@ def pairwise_matrix(
     bound VMEM pressure and compile shapes. ``precision`` selects the
     kernel mode ("exact" | "fast" bf16; None = each kernel's default:
     CD exact, EMD fast) — metric-level effects of fast modes are bounded
-    in tests/test_metrics.py."""
-    if precision is None:
-        fn = {"cd": chamfer_pairwise, "emd": emd_pairwise}[metric]
-    else:
-        fn = {
-            "cd": functools.partial(chamfer_pairwise, precision=precision),
-            "emd": functools.partial(emd_pairwise, precision=precision),
-        }[metric]
+    in tests/test_metrics.py. ``symmetric=True`` (self-comparison) lets
+    the CD kernel compute only the upper triangle (CD is exactly
+    symmetric; approxmatch EMD is not, so EMD ignores it); it bypasses
+    row chunking/sharding, so it is applied only without a mesh."""
+    kw = {} if precision is None else {"precision": precision}
+    if metric == "cd" and symmetric and (mesh is None or mesh.devices.size == 1):
+        # single full-matrix call: the triangle guard needs global row ids,
+        # which row chunking would break
+        return chamfer_pairwise(xs, ys, impl, symmetric=True, **kw)
+    fn = {
+        "cd": functools.partial(chamfer_pairwise, **kw),
+        "emd": functools.partial(emd_pairwise, **kw),
+    }[metric]
     s1 = xs.shape[0]
     nd = len(mesh.devices.flatten()) if mesh is not None else 1
     # chunk must stay a multiple of the device count for the row sharding;
@@ -256,8 +262,10 @@ def compute_all_metrics(
     per_cat: Dict[str, Dict[str, float]] = {}
     for metric in metrics:
         m_gr = pairwise_matrix(gen, ref, metric, impl, mesh, precision=precision)
-        m_gg = pairwise_matrix(gen, gen, metric, impl, mesh, precision=precision)
-        m_rr = pairwise_matrix(ref, ref, metric, impl, mesh, precision=precision)
+        m_gg = pairwise_matrix(gen, gen, metric, impl, mesh, precision=precision,
+                               symmetric=True)
+        m_rr = pairwise_matrix(ref, ref, metric, impl, mesh, precision=precision,
+                               symmetric=True)
         mc = mmd_cov(m_gr)
         out[f"mmd-{metric}"] = mc["mmd"] * emd_scale
         out[f"cov-{metric}"] = mc["cov"]

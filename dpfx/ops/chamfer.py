@@ -253,7 +253,7 @@ def _nnd_bwd_pallas(xp, yp, dl, dr, glp, grp, tn: int):
 
 
 def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
-                        fast: bool = False) -> Array:
+                        fast: bool = False, symmetric: bool = False) -> Array:
     """Pairwise CD matrix. xp: [S1, Np, 8], yp: [S2, Mp, 8] (padded; true
     sizes n, m static) -> cd [S1, S2]. Per-pair means computed in-kernel.
 
@@ -274,6 +274,7 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
     s2_pad = _round_up(s2, 128)
 
     def kernel(x_ref, y_ref, cd_ref, colmin, rowacc, cdrow):
+        a_ = pl.program_id(0)
         b_ = pl.program_id(1)
         y = y_ref[0]
         y2 = jnp.sum(y * y, axis=-1, keepdims=True).T  # hoisted out of the tile loop
@@ -314,7 +315,15 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
             colmin[:] = jnp.minimum(colmin[:], tile_min.astype(jnp.float32))
             return 0
 
-        jax.lax.fori_loop(0, nt, tile, 0, unroll=False)
+        if symmetric:
+            # self-matrix mode: only the upper triangle (incl. diagonal) is
+            # computed; the caller mirrors it. Skipped steps leave the
+            # scratch at its init values and emit 0.
+            @pl.when(b_ >= a_)
+            def _():
+                jax.lax.fori_loop(0, nt, tile, 0, unroll=False)
+        else:
+            jax.lax.fori_loop(0, nt, tile, 0, unroll=False)
 
         if m_pad != m:
             col_valid = jax.lax.broadcasted_iota(jnp.int32, (1, m_pad), 1) < m
@@ -322,6 +331,8 @@ def _cd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
         else:
             mean_r = jnp.sum(colmin[:]) / float(m)
         cd_val = rowacc[0, 0] / float(n) + mean_r
+        if symmetric:
+            cd_val = jnp.where(b_ >= a_, cd_val, 0.0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, s2_pad), 1)
         base = jnp.where(b_ == 0, jnp.zeros((1, s2_pad), jnp.float32), cdrow[:])
         cdrow[:] = jnp.where(lane == b_, cd_val, base)
@@ -420,14 +431,19 @@ def chamfer_parts(x: Array, y: Array, impl: str = "auto") -> Tuple[Array, Array]
 
 
 def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto",
-                     precision: str = "exact") -> Array:
+                     precision: str = "exact", symmetric: bool = False) -> Array:
     """Full pairwise CD matrix: xs [S1,N,3], ys [S2,M,3] -> [S1,S2].
 
     ``precision="fast"`` runs the bf16 distance/min kernel (~0.4% pair
     drift; metric-level effect bounded by tests/test_metrics.py) — the
     eval-sweep accelerator, mirroring emd_pairwise's fast mode. "exact"
     (default) keeps the HIGHEST-precision distances the parity protocol
-    requires."""
+    requires.
+
+    ``symmetric=True`` (requires xs is ys-shaped self-comparison): the
+    kernel computes only the upper triangle and the lower is mirrored —
+    CD(x, y) == CD(y, x) exactly, so the result is identical and the
+    self-matrices of the 1-NNA protocol cost ~half."""
     if impl == "auto":
         impl = "pallas"
     s1, n, _ = xs.shape
@@ -442,4 +458,10 @@ def chamfer_pairwise(xs: Array, ys: Array, impl: str = "auto",
     tn = min(256, _round_up(n, 8))
     xp = _pad_coords(xs, _round_up(n, tn))
     yp = _pad_coords(ys, _round_up(m, 128))
+    if symmetric:
+        if s1 != s2 or n != m:
+            raise ValueError("symmetric=True needs a self-comparison (S1==S2, N==M)")
+        tri = _cd_pallas_pairwise(xp, yp, n, m, tn, fast=precision == "fast",
+                                  symmetric=True)
+        return tri + tri.T - jnp.diag(jnp.diagonal(tri))
     return _cd_pallas_pairwise(xp, yp, n, m, tn, fast=precision == "fast")

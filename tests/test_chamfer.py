@@ -107,3 +107,18 @@ def test_pairwise_ragged_sizes():
     cdm = chamfer_pairwise(xs, ys, impl="pallas")
     cdm_j = chamfer_pairwise(xs, ys, impl="jnp")
     np.testing.assert_allclose(np.asarray(cdm), np.asarray(cdm_j), rtol=1e-5, atol=1e-5)
+
+
+def test_pairwise_symmetric_mode_matches_full():
+    """symmetric=True (upper triangle + mirror) must equal the full
+    computation exactly — CD is symmetric in its arguments."""
+    import numpy as np
+
+    from dpfx.ops.chamfer import chamfer_pairwise
+
+    rng = np.random.default_rng(11)
+    xs = jnp.asarray(rng.normal(size=(7, 96, 3)))
+    full = np.asarray(chamfer_pairwise(xs, xs))
+    tri = np.asarray(chamfer_pairwise(xs, xs, symmetric=True))
+    np.testing.assert_allclose(tri, full, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(tri, tri.T, rtol=0, atol=0)  # exactly mirrored
