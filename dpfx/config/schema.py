@@ -201,6 +201,9 @@ class TrainConfig:
     log_every: int = 100
     loss: str = "elbo"           # elbo (AE/gen); recon-only variants for ablation
     tensorboard: bool = False    # clu.metric_writers TB events next to metrics.jsonl
+    steps_per_call: int = 1      # >1: K train steps per dispatched lax.scan
+    #                              (device-side loop; amortizes host dispatch
+    #                              — ~20 ms/call through this box's tunnel)
     kl_weight: float = 1.0
     recon_reduction: str = "sum_points"  # sum_points | mean_points; VERIFY-vs-reference (§7)
     extra: Dict[str, Any] = field(default_factory=dict)

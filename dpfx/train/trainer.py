@@ -129,6 +129,44 @@ def make_train_step(
     )
 
 
+def make_multi_step(
+    model: DPF,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh: Optional[Mesh] = None,
+    steps_per_call: int = 8,
+) -> Callable:
+    """K train steps in ONE dispatched lax.scan (train.steps_per_call).
+
+    The device-side training loop: batches arrive stacked [K, B, N, 3] and
+    the TrainState carry serializes the K steps on device. Semantics are
+    identical to K sequential `make_train_step` calls (the per-step rng is
+    folded from state.step inside step_fn), but host dispatch cost is paid
+    once per K steps — on this box's tunneled TPU (~20 ms/dispatch) that
+    is the difference between wall and device throughput. Returns
+    (state, metrics) with each metric stacked [K]."""
+    step_fn = make_train_step(model, tx, cfg, mesh=mesh, jit=False)
+
+    def multi(state: TrainState, batches: Dict[str, Array], rng: Array):
+        def body(st, batch):
+            st, m = step_fn(st, batch, rng)
+            return st, m
+
+        return jax.lax.scan(body, state, batches)
+
+    if mesh is None or mesh.devices.size == 1:
+        return jax.jit(multi, donate_argnums=0)
+    repl = NamedSharding(mesh, P())
+    # batch axis is dim 1 of the stacked [K, B, ...] arrays
+    bsh = NamedSharding(mesh, P(None, cfg.parallel.axis_name))
+    return jax.jit(
+        multi,
+        donate_argnums=0,
+        in_shardings=(repl, bsh, repl),
+        out_shardings=(repl, repl),
+    )
+
+
 def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     """Validation negative-ELBO (deterministic rng per batch)."""
 
@@ -258,6 +296,11 @@ class Trainer:
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         self.state = init_state(self.model, cfg, self.rng, self.tx)
         self.train_step = make_train_step(self.model, self.tx, cfg, self.mesh)
+        self.steps_per_call = max(1, cfg.train.steps_per_call)
+        if self.steps_per_call > 1:
+            self.multi_step = make_multi_step(
+                self.model, self.tx, cfg, self.mesh, self.steps_per_call
+            )
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
         self.history: list = []
@@ -293,21 +336,45 @@ class Trainer:
         step = int(self.state.step)
         t0 = time.perf_counter()
         window = []
+        window_steps = 0
+        spc = self.steps_per_call
+        pending: list = []  # host batches awaiting a stacked multi-step call
         for batch in _device_prefetch(batches):
             if step >= steps:
                 break
-            self.state, metrics = self.train_step(self.state, batch, self.rng)
-            window.append(metrics)
-            step += 1
-            if step % tcfg.log_every == 0 or step == steps:
+            if spc > 1 and step + spc <= steps:
+                # device-side loop: stack K batches, ONE dispatch
+                pending.append(batch)
+                if len(pending) < spc:
+                    continue
+                stacked = jax.tree.map(
+                    lambda *bs: jnp.stack(bs), *pending
+                )
+                pending = []
+                self.state, metrics = self.multi_step(self.state, stacked, self.rng)
+                window.append(metrics)  # each metric stacked [K]
+                window_steps += spc
+                step += spc
+                took = spc
+            else:
+                self.state, metrics = self.train_step(self.state, batch, self.rng)
+                window.append(metrics)
+                window_steps += 1
+                step += 1
+                took = 1
+            # interval-crossing tests (not `% == 0`): a multi-step call can
+            # jump over the exact multiple
+            crossed = lambda every, _s=step, _t=took: _s // every > (_s - _t) // every
+            if crossed(tcfg.log_every) or step == steps:
                 # one host transfer, and only of a window tail: per-scalar
-                # float() costs a blocking device round trip each
+                # float() costs a blocking device round trip each. Multi-
+                # step entries carry [K]-stacked metrics; np.mean flattens.
                 host_window = jax.device_get(window[-16:])
                 m = {k: float(np.mean([w[k] for w in host_window])) for k in window[0]}
                 dt = time.perf_counter() - t0
-                # len(window) = actual steps in this window (the final or
+                # window_steps = actual steps in this window (the final or
                 # first-after-resume window can be shorter than log_every)
-                pts = len(window) * batch["x"].shape[0] * batch["x"].shape[1]
+                pts = window_steps * batch["x"].shape[0] * batch["x"].shape[1]
                 self.log_fn(
                     f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
                     f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
@@ -317,11 +384,20 @@ class Trainer:
                 self._write_metrics({"kind": "train", "step": step, **m,
                                      "points_per_sec": pts / dt})
                 window = []
+                window_steps = 0
                 t0 = time.perf_counter()
-            if val_batches_fn is not None and step % tcfg.eval_every == 0:
+            if val_batches_fn is not None and crossed(tcfg.eval_every):
                 self.evaluate(val_batches_fn())
-            if step % tcfg.ckpt_every == 0 or step == steps:
+            if crossed(tcfg.ckpt_every) or step == steps:
                 self.ckpt.save(step, self.state)
+        # drain a partial multi-step group (iterator ran dry mid-collection)
+        for batch in pending:
+            if step >= steps:
+                break
+            self.state, _ = self.train_step(self.state, batch, self.rng)
+            step += 1
+        if pending and step == steps:
+            self.ckpt.save(step, self.state)
         self.ckpt.wait()
         self.writer.flush()
         return self.state

@@ -174,3 +174,47 @@ def test_trainer_tensorboard_writer(tmp_path):
     events = glob.glob(str(tmp_path / "test" / "tb" / "events.out.tfevents.*"))
     assert events, "no TensorBoard event file written"
     assert trainer.history  # jsonl/console stream still active
+
+
+def test_multi_step_matches_sequential():
+    """K steps in one lax.scan dispatch == K sequential steps exactly
+    (same batches, same per-step rng folding from state.step)."""
+    from dpfx.train.trainer import make_multi_step
+
+    cfg = tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    s_seq = init_state(model, cfg, rng, tx)
+    s_multi = jax.tree.map(jnp.copy, s_seq)
+    batches = [
+        {"x": jax.random.normal(jax.random.fold_in(rng, i), (8, 64, 3))}
+        for i in range(4)
+    ]
+
+    step = make_train_step(model, tx, cfg, None)
+    for b in batches:
+        s_seq, m_seq = step(s_seq, b, rng)
+
+    multi = make_multi_step(model, tx, cfg, None, steps_per_call=4)
+    stacked = jax.tree.map(lambda *bs: jnp.stack(bs), *batches)
+    s_multi, m_stacked = multi(s_multi, stacked, rng)
+
+    assert int(s_multi.step) == int(s_seq.step) == 4
+    np.testing.assert_allclose(float(m_stacked["loss"][-1]), float(m_seq["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_multi.params), jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_trainer_steps_per_call(tmp_path):
+    """Trainer with steps_per_call>1: right step count, logging, ckpt."""
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 24,
+                             "steps_per_call": 4, "log_every": 8,
+                             "ckpt_every": 24})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    trainer.fit(iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0))
+    assert int(trainer.state.step) == 24
+    assert trainer.history and trainer.history[-1]["step"] == 24
+    assert trainer.ckpt.latest_step() == 24
