@@ -97,3 +97,17 @@ def test_make_decoder_paths():
         dec = make_decoder(model, params, n_points=33, fused=fused)
         x = dec(z, rng)
         assert x.shape == (4, 33, 3) and bool(jnp.isfinite(x).all())
+
+
+def test_train_cli_svr(tmp_path):
+    """SVR experiment through the CLI (synthetic render pairs, mixer
+    encoder for CPU speed): trains and writes a checkpoint."""
+    out = run_cli(
+        "train.py", os.path.join(REPO, "configs", "smoke_svr_synthetic.yaml"),
+        f"train.ckpt_dir={tmp_path}", "train.steps=4", "train.log_every=2",
+        "train.ckpt_every=4", "train.eval_every=100",
+        "data.n_points=64", "data.synthetic_size=16", "train.batch_size=4",
+    )
+    assert "step 4/4" in out
+    mdir = os.path.join(tmp_path, "smoke_svr_synthetic")
+    assert any(d.isdigit() for d in os.listdir(mdir))
