@@ -25,7 +25,9 @@ pinned v1-protocol values are used and "baseline": "pinned-v1" is set.
 
 from __future__ import annotations
 
+import datetime
 import json
+import os
 import sys
 import time
 
@@ -115,21 +117,56 @@ def bench_train(cfg) -> float:
     return TRAIN_B * TRAIN_N / dt * 1000.0
 
 
+# Baseline cache: the live baseline costs ~4 extra compiles (~5 min of
+# driver budget) per run; once measured on this chip it is cached and
+# reused (cross-session chip variance is ±20% — the cache records its
+# measurement date for honesty). Force a re-measure with
+# DPFX_BENCH_REBASELINE=1.
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_BASELINE_CACHE.json")
+
+
+def _load_baseline_cache():
+    if os.environ.get("DPFX_BENCH_REBASELINE"):
+        return None
+    try:
+        with open(BASELINE_CACHE) as f:
+            c = json.load(f)
+        if c.get("protocol") == "chain-v2":
+            return c
+    except (OSError, ValueError):
+        pass
+    return None
+
+
 def main() -> None:
     flagship = _flagship_cfg()
     sample_pts = bench_sample(flagship, fused=True)
     train_pts = bench_train(flagship)
 
-    baseline_kind = "live-v2"
-    try:
-        base = _baseline_cfg()
-        sample_base = bench_sample(base, fused=False)
-        train_base = bench_train(base)
-    except Exception as e:  # fall back to the v1 pins, flagged
-        print(f"[bench] live baseline failed ({e!r}); using pinned v1",
-              file=sys.stderr)
-        baseline_kind = "pinned-v1"
-        sample_base, train_base = PINNED_V1_SAMPLE, PINNED_V1_TRAIN
+    cached = _load_baseline_cache()
+    if cached is not None:
+        baseline_kind = f"cached-v2 ({cached['date']})"
+        sample_base = cached["sample_baseline_value"]
+        train_base = cached["train_baseline_value"]
+    else:
+        baseline_kind = "live-v2"
+        try:
+            base = _baseline_cfg()
+            sample_base = bench_sample(base, fused=False)
+            train_base = bench_train(base)
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({
+                    "protocol": "chain-v2",
+                    "date": datetime.date.today().isoformat(),
+                    "sample_baseline_value": sample_base,
+                    "train_baseline_value": train_base,
+                }, f)
+        except Exception as e:  # fall back to the v1 pins, flagged
+            print(f"[bench] live baseline failed ({e!r}); using pinned v1",
+                  file=sys.stderr)
+            baseline_kind = "pinned-v1"
+            sample_base, train_base = PINNED_V1_SAMPLE, PINNED_V1_TRAIN
 
     print(json.dumps({
         "metric": "sample_points_per_sec_per_chip",

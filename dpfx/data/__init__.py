@@ -1,6 +1,7 @@
 from dpfx.data.loader import (
     iterate_batches,
     load_all,
+    prefetch_batches,
     load_all_images,
     load_all_labels,
     sample_cloud,
@@ -21,6 +22,7 @@ from dpfx.data.synthetic import SyntheticDataset
 __all__ = [
     "iterate_batches",
     "load_all",
+    "prefetch_batches",
     "load_all_images",
     "load_all_labels",
     "sample_cloud",

@@ -64,6 +64,35 @@ def iterate_batches(
         epoch += 1
 
 
+def prefetch_batches(batches: Iterator, depth: int = 2) -> Iterator:
+    """Run the host-side batch prep (gather + subsample) on a background
+    thread, keeping up to ``depth`` ready batches in a queue — the Python-
+    loader analogue of the reference's DataLoader worker processes
+    (SURVEY.md §2 C4), wired to ``data.num_workers``. The prep is
+    numpy-only (releases the GIL in the gather), so one thread suffices to
+    hide it behind the device step."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    _END = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        b = q.get()
+        if b is _END:
+            break
+        yield b
+
+
 def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None) -> np.ndarray:
     """Materialize a full split as [S, n_points, 3] (eval protocol)."""
     rng = np.random.default_rng(seed)

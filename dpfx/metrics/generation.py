@@ -32,6 +32,20 @@ from dpfx.ops import chamfer_pairwise, emd_pairwise
 
 Array = jax.Array
 
+import logging
+
+_logger = logging.getLogger("dpfx.metrics")
+_sym_bypass_logged: set = set()
+
+
+def _note_symmetric_bypass(reason: str) -> None:
+    """Log (once per reason) when the symmetric 2x fast path is bypassed, so
+    eval-time perf expectations stay honest (callers passing symmetric=True
+    otherwise get no signal that the saving did not apply)."""
+    if reason not in _sym_bypass_logged:
+        _sym_bypass_logged.add(reason)
+        _logger.info("symmetric=True bypassed (%s): computing the full matrix", reason)
+
 
 # ---------------------------------------------------------------------------
 # pairwise matrices (optionally mesh-sharded over the gen axis)
@@ -73,6 +87,11 @@ def pairwise_matrix(
         # single full-matrix call: the triangle guard needs global row ids,
         # which row chunking would break
         return chamfer_pairwise(xs, ys, impl, symmetric=True, **kw)
+    if symmetric:
+        _note_symmetric_bypass(
+            "approxmatch EMD is not argument-symmetric" if metric == "emd"
+            else "multi-device mesh row-sharding needs the full chunked matrix"
+        )
     fn = {
         "cd": functools.partial(chamfer_pairwise, **kw),
         "emd": functools.partial(emd_pairwise, **kw),
@@ -205,7 +224,8 @@ def _jensen_shannon_base2(p_counts: np.ndarray, q_counts: np.ndarray) -> float:
 
 
 def jsd_between_sets(
-    gen: np.ndarray, ref: np.ndarray, resolution: int = 28
+    gen: np.ndarray, ref: np.ndarray, resolution: int = 28,
+    frame: str = "fit",
 ) -> float:
     """JSD between the two sets' point marginals on the sphere-clipped grid
     [pointflow-protocol].
@@ -214,10 +234,20 @@ def jsd_between_sets(
     semantics (in_unit_sphere=True): nodes span [-0.5, 0.5]^3 clipped to the
     radius-0.5 sphere, every point of every cloud increments its nearest
     node, and the divergence is base-2 between the normalized per-point
-    count distributions. Clouds extending past the unit sphere are handled
-    like the lineage does — assigned to the nearest in-sphere node — with a
-    warning. VERIFY-vs-reference when the mount appears (SURVEY.md §9.7):
-    transcribed from the public lineage, not the reference's copy."""
+    count distributions.
+
+    ``frame`` handles clouds extending past the grid sphere (with this
+    repo's default `normalize: per_shape`, clouds reach radius 1.0 — twice
+    the grid):
+      * "fit" (default): apply ONE joint isotropic shrink, 0.5/max_radius
+        over gen ∪ ref, to both sets — relative geometry is untouched, the
+        full grid resolution is used, and nothing saturates at the edge.
+        In-sphere data is bit-identical to the lineage (no scaling applied).
+      * "raw": lineage edge-snap behavior — out-of-sphere points assign to
+        their nearest in-sphere node — with a loud warning.
+    VERIFY-vs-reference when the mount appears (SURVEY.md §9.7): whether
+    the reference re-normalizes before JSD is unverifiable offline; "fit"
+    is the resolution-preserving choice, "raw" the literal-lineage one."""
     import warnings
 
     gen = np.asarray(gen)
@@ -228,12 +258,19 @@ def jsd_between_sets(
         float(np.linalg.norm(ref.reshape(-1, 3), axis=1).max()),
     )
     if max_r > bound:
-        warnings.warn(
-            f"dpfx.metrics: clouds extend to radius {max_r:.3f} > 0.5 — the "
-            f"JSD grid covers the unit sphere (diameter 1); points outside "
-            f"snap to edge nodes [pointflow-protocol convention]",
-            stacklevel=2,
-        )
+        if frame == "fit":
+            scale = 0.5 / max_r
+            gen = gen * scale
+            ref = ref * scale
+        elif frame == "raw":
+            warnings.warn(
+                f"dpfx.metrics: clouds extend to radius {max_r:.3f} > 0.5 — "
+                f"the JSD grid covers the unit sphere (diameter 1); points "
+                f"outside snap to edge nodes [pointflow-protocol convention]",
+                stacklevel=2,
+            )
+        else:
+            raise ValueError(f"unknown jsd frame {frame!r} (fit | raw)")
     grid = _sphere_grid(resolution)
     return _jensen_shannon_base2(
         _grid_counters(gen, grid), _grid_counters(ref, grid)
@@ -251,6 +288,7 @@ def compute_all_metrics(
     ref_labels: Optional[np.ndarray] = None,
     label_names: Optional[Dict[int, str]] = None,
     precision: Optional[str] = None,
+    jsd_frame: str = "fit",
 ) -> Dict[str, float]:
     """The full generation suite (SURVEY.md §3.3): for each base metric,
     MMD / COV / 1-NNA from the three pairwise matrices, plus JSD.
@@ -275,7 +313,8 @@ def compute_all_metrics(
                 name = (label_names or {}).get(c, f"cat{c}")
                 per_cat.setdefault(name, {})[f"mmd-{metric}"] = vals["mmd"] * emd_scale
                 per_cat[name][f"cov-{metric}"] = vals["cov"]
-    out["jsd"] = jsd_between_sets(np.asarray(gen), np.asarray(ref), jsd_resolution)
+    out["jsd"] = jsd_between_sets(np.asarray(gen), np.asarray(ref), jsd_resolution,
+                                  frame=jsd_frame)
     if per_cat:
         out["per_category"] = per_cat
     return out

@@ -26,6 +26,11 @@ from dpfx.models import DPF
 from dpfx.parallel import create_mesh
 from dpfx.train.loss import elbo_loss
 
+try:  # public since jax 0.6; fall back for older trees
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
 Array = jax.Array
 
 
@@ -81,6 +86,7 @@ def make_train_step(
     cfg: Config,
     mesh: Optional[Mesh] = None,
     jit: bool = True,
+    pmean_axis: Optional[str] = None,
 ) -> Callable:
     """Build the jitted train step. With a mesh, the batch is sharded on the
     data axis and state replicated; the returned fn takes already-placed (or
@@ -89,27 +95,41 @@ def make_train_step(
     bench's single-dispatch device-side timing)."""
     tcfg = cfg.train
 
-    def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
-        rng = jax.random.fold_in(rng, state.step)
+    def make_step_fn(pmean_axis: Optional[str] = None):
+        """Raw traceable step. With ``pmean_axis`` (the shard_map path for
+        the fused-kernel step), gradients and metrics are all-reduced over
+        the mesh axis inside the step — the explicit form of the collective
+        XLA otherwise derives from shardings."""
 
-        def loss_fn(p):
-            return elbo_loss(
-                model,
-                p,
-                batch["x"],
-                rng,
-                image=batch.get("image"),
-                kl_weight=tcfg.kl_weight,
-                recon_reduction=tcfg.recon_reduction,
-            )
+        def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
+            rng = jax.random.fold_in(rng, state.step)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
-        return new_state, metrics
+            def loss_fn(p):
+                return elbo_loss(
+                    model,
+                    p,
+                    batch["x"],
+                    rng,
+                    image=batch.get("image"),
+                    kl_weight=tcfg.kl_weight,
+                    recon_reduction=tcfg.recon_reduction,
+                    fused_point_flow=tcfg.fused_point_flow,
+                    eps=batch.get("eps"),
+                )
 
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            if pmean_axis is not None:
+                grads = jax.lax.pmean(grads, pmean_axis)
+                metrics = jax.lax.pmean(metrics, pmean_axis)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, metrics
+
+        return step_fn
+
+    step_fn = make_step_fn(pmean_axis)
     if not jit:
         return step_fn
     # single-device meshes take the plain jit path: sharding annotations are
@@ -119,8 +139,30 @@ def make_train_step(
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(step_fn, donate_argnums=0)
 
+    axis = cfg.parallel.axis_name
+    if tcfg.fused_point_flow:
+        # Pallas custom calls don't partition under plain pjit — run the
+        # whole step per-device under shard_map with an explicit grad pmean.
+        # The reparameterization noise is drawn OUTSIDE the sharded region
+        # with the global batch shape (then sharded with the batch), so the
+        # random stream — and therefore the update — is bit-identical to
+        # the single-device step (test-pinned).
+        sharded = _shard_map(
+            make_step_fn(pmean_axis=axis), mesh=mesh,
+            in_specs=(P(), P(axis), P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+        dz = cfg.model.dz
+
+        def entry(state: TrainState, batch: Dict[str, Array], rng: Array):
+            rng_step = jax.random.fold_in(rng, state.step)
+            eps = jax.random.normal(rng_step, (batch["x"].shape[0], dz))
+            return sharded(state, {**batch, "eps": eps}, rng)
+
+        return jax.jit(entry, donate_argnums=0)
+
     repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P(cfg.parallel.axis_name))  # prefix spec: shard axis 0
+    bsh = NamedSharding(mesh, P(axis))  # prefix spec: shard axis 0
     return jax.jit(
         step_fn,
         donate_argnums=0,
@@ -145,7 +187,13 @@ def make_multi_step(
     once per K steps — on this box's tunneled TPU (~20 ms/dispatch) that
     is the difference between wall and device throughput. Returns
     (state, metrics) with each metric stacked [K]."""
-    step_fn = make_train_step(model, tx, cfg, mesh=mesh, jit=False)
+    multi_device = mesh is not None and mesh.devices.size > 1
+    axis = cfg.parallel.axis_name
+    fused_sharded = multi_device and cfg.train.fused_point_flow
+    step_fn = make_train_step(
+        model, tx, cfg, mesh=mesh, jit=False,
+        pmean_axis=axis if fused_sharded else None,
+    )
 
     def multi(state: TrainState, batches: Dict[str, Array], rng: Array):
         def body(st, batch):
@@ -154,11 +202,31 @@ def make_multi_step(
 
         return jax.lax.scan(body, state, batches)
 
-    if mesh is None or mesh.devices.size == 1:
+    if not multi_device:
         return jax.jit(multi, donate_argnums=0)
+    if fused_sharded:
+        # shard_map for the Pallas path (see make_train_step); eps for all K
+        # steps drawn outside with global shapes so the stream matches the
+        # single-device scan exactly
+        sharded = _shard_map(
+            multi, mesh=mesh,
+            in_specs=(P(), P(None, axis), P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+        dz = cfg.model.dz
+
+        def entry(state: TrainState, batches: Dict[str, Array], rng: Array):
+            k, b = batches["x"].shape[:2]
+            steps = state.step + jnp.arange(k)
+            eps = jax.vmap(
+                lambda s: jax.random.normal(jax.random.fold_in(rng, s), (b, dz))
+            )(steps)
+            return sharded(state, {**batches, "eps": eps}, rng)
+
+        return jax.jit(entry, donate_argnums=0)
     repl = NamedSharding(mesh, P())
     # batch axis is dim 1 of the stacked [K, B, ...] arrays
-    bsh = NamedSharding(mesh, P(None, cfg.parallel.axis_name))
+    bsh = NamedSharding(mesh, P(None, axis))
     return jax.jit(
         multi,
         donate_argnums=0,
@@ -179,6 +247,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
             image=batch.get("image"),
             kl_weight=cfg.train.kl_weight,
             recon_reduction=cfg.train.recon_reduction,
+            fused_point_flow=cfg.train.fused_point_flow,
         )
         return metrics
 
@@ -337,40 +406,29 @@ class Trainer:
         t0 = time.perf_counter()
         window = []
         window_steps = 0
+        last_ckpt_step = step
         spc = self.steps_per_call
-        pending: list = []  # host batches awaiting a stacked multi-step call
-        for batch in _device_prefetch(batches):
-            if step >= steps:
-                break
-            if spc > 1 and step + spc <= steps:
-                # device-side loop: stack K batches, ONE dispatch
-                pending.append(batch)
-                if len(pending) < spc:
-                    continue
-                stacked = jax.tree.map(
-                    lambda *bs: jnp.stack(bs), *pending
-                )
-                pending = []
-                self.state, metrics = self.multi_step(self.state, stacked, self.rng)
-                window.append(metrics)  # each metric stacked [K]
-                window_steps += spc
-                step += spc
-                took = spc
-            else:
-                self.state, metrics = self.train_step(self.state, batch, self.rng)
-                window.append(metrics)
-                window_steps += 1
-                step += 1
-                took = 1
+
+        def bookkeep(took: int, batch) -> None:
+            """Shared post-step logging / eval / checkpoint cadence — used by
+            both the main loop and the partial-group drain so drained steps
+            are never silently dropped from metrics or checkpoints."""
+            nonlocal window, window_steps, t0, last_ckpt_step
             # interval-crossing tests (not `% == 0`): a multi-step call can
             # jump over the exact multiple
-            crossed = lambda every, _s=step, _t=took: _s // every > (_s - _t) // every
+            crossed = lambda every: step // every > (step - took) // every
             if crossed(tcfg.log_every) or step == steps:
-                # one host transfer, and only of a window tail: per-scalar
-                # float() costs a blocking device round trip each. Multi-
-                # step entries carry [K]-stacked metrics; np.mean flattens.
-                host_window = jax.device_get(window[-16:])
-                m = {k: float(np.mean([w[k] for w in host_window])) for k in window[0]}
+                # ONE host transfer of the full window (scalars are tiny;
+                # per-scalar float() would cost a device round trip each).
+                # Entries may mix [K]-stacked metrics (multi-step calls)
+                # with scalars (single steps) — flatten each to 1-D before
+                # concatenating so the mean covers every step exactly once.
+                host_window = jax.device_get(window)
+                m = {
+                    k: float(np.mean(np.concatenate(
+                        [np.atleast_1d(w[k]) for w in host_window])))
+                    for k in host_window[0]
+                }
                 dt = time.perf_counter() - t0
                 # window_steps = actual steps in this window (the final or
                 # first-after-resume window can be shorter than log_every)
@@ -390,13 +448,45 @@ class Trainer:
                 self.evaluate(val_batches_fn())
             if crossed(tcfg.ckpt_every) or step == steps:
                 self.ckpt.save(step, self.state)
+                last_ckpt_step = step
+
+        pending: list = []  # host batches awaiting a stacked multi-step call
+        for batch in _device_prefetch(batches):
+            if step >= steps:
+                break
+            if spc > 1 and step + spc <= steps:
+                # device-side loop: stack K batches, ONE dispatch
+                pending.append(batch)
+                if len(pending) < spc:
+                    continue
+                stacked = jax.tree.map(
+                    lambda *bs: jnp.stack(bs), *pending
+                )
+                pending = []
+                self.state, metrics = self.multi_step(self.state, stacked, self.rng)
+                window.append(metrics)  # each metric stacked [K]
+                window_steps += spc
+                step += spc
+                bookkeep(spc, batch)
+            else:
+                self.state, metrics = self.train_step(self.state, batch, self.rng)
+                window.append(metrics)
+                window_steps += 1
+                step += 1
+                bookkeep(1, batch)
         # drain a partial multi-step group (iterator ran dry mid-collection)
+        # through the SAME bookkeeping as the main loop
         for batch in pending:
             if step >= steps:
                 break
-            self.state, _ = self.train_step(self.state, batch, self.rng)
+            self.state, metrics = self.train_step(self.state, batch, self.rng)
+            window.append(metrics)
+            window_steps += 1
             step += 1
-        if pending and step == steps:
+            bookkeep(1, batch)
+        if step != last_ckpt_step:
+            # iterator ran dry off-cadence: never exit without a checkpoint
+            # covering the last trained step
             self.ckpt.save(step, self.state)
         self.ckpt.wait()
         self.writer.flush()

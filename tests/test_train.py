@@ -218,3 +218,61 @@ def test_trainer_steps_per_call(tmp_path):
     assert int(trainer.state.step) == 24
     assert trainer.history and trainer.history[-1]["step"] == 24
     assert trainer.ckpt.latest_step() == 24
+
+
+def test_trainer_steps_per_call_ragged(tmp_path):
+    """steps % steps_per_call != 0: the trailing single steps mix scalar
+    metrics with [K]-stacked ones in the same log window — the window mean
+    must flatten, not crash, and the final checkpoint must land."""
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 26,
+                             "steps_per_call": 4, "log_every": 10,
+                             "ckpt_every": 26})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    trainer.fit(iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0))
+    assert int(trainer.state.step) == 26
+    assert trainer.history and trainer.history[-1]["step"] == 26
+    assert trainer.ckpt.latest_step() == 26
+
+
+def test_trainer_iterator_runs_dry_mid_group(tmp_path):
+    """Batch iterator ends mid multi-step group and off the ckpt cadence:
+    drained steps go through the normal bookkeeping and a final checkpoint
+    covering the last trained step is always saved."""
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 100,
+                             "steps_per_call": 4, "log_every": 10,
+                             "ckpt_every": 1000})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    it = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0)
+    # 10 batches only: 2 full groups (8 steps) + 2 drained singles
+    limited = (b for _, b in zip(range(10), it))
+    trainer.fit(limited)
+    assert int(trainer.state.step) == 10
+    assert trainer.history and trainer.history[-1]["step"] == 10  # drained steps logged
+    assert trainer.ckpt.latest_step() == 10  # final ckpt despite off-cadence end
+
+
+def test_sharded_sampler_matches_shape_and_varies_per_shard():
+    """Mesh-sharded generation (VERDICT r2 Missing #6): cloud axis sharded
+    over the 8-device mesh; per-device rng folds give distinct shards; the
+    XLA (actnorm-safe) path shards too."""
+    from dpfx.sampling import make_sampler
+
+    cfg = tiny_config()
+    mesh = create_mesh()
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((2, 16, 3)), rng)
+
+    for fused in (True, False):
+        sampler = make_sampler(model, params, 16, 64, fused=fused, mesh=mesh)
+        x = np.asarray(sampler(rng))
+        assert x.shape == (16, 64, 3) and np.isfinite(x).all()
+        # shards must differ (per-device rng fold): compare device blocks
+        assert not np.allclose(x[:2], x[2:4])
+        # deterministic per key
+        np.testing.assert_array_equal(np.asarray(sampler(rng)), x)
+
+    with pytest.raises(ValueError):
+        make_sampler(model, params, 15, 64, mesh=mesh)  # not a mesh multiple

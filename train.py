@@ -74,6 +74,10 @@ def main(argv=None) -> int:
             train_ds, cfg.train.batch_size, cfg.data.n_points,
             seed=cfg.train.seed, with_images=svr,
         )
+        if cfg.data.num_workers > 0:
+            from dpfx.data import prefetch_batches
+
+            batches = prefetch_batches(batches, depth=cfg.data.num_workers)
 
     def val_batches():
         return iterate_batches(
