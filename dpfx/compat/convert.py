@@ -47,6 +47,28 @@ DEFAULT_RULES: List[Rule] = [
     # PointNet encoder
     (r"^encoder\.(point_\d+|head_\d+|gauss)\.weight$", r"encoder/\1/kernel", "linear_w"),
     (r"^encoder\.(point_\d+|head_\d+|gauss)\.bias$", r"encoder/\1/bias", "none"),
+    # SVR conv image encoder (ConvImageEncoderMirror naming = flax
+    # auto-names: Conv_0 stem, s{stage}_b{block} ResBlocks, Dense_0, gauss)
+    (r"^image_encoder\.Conv_0\.weight$", r"image_encoder/Conv_0/kernel", "conv_w"),
+    (r"^image_encoder\.Conv_0\.bias$", r"image_encoder/Conv_0/bias", "none"),
+    (r"^image_encoder\.(s\d+_b\d+)\.(Conv_\d+)\.weight$",
+     r"image_encoder/\1/\2/kernel", "conv_w"),
+    (r"^image_encoder\.(s\d+_b\d+)\.(Conv_\d+)\.bias$",
+     r"image_encoder/\1/\2/bias", "none"),
+    # torch norm 'weight' -> flax 'scale'
+    (r"^image_encoder\.(s\d+_b\d+)\.(GroupNorm_\d+)\.weight$",
+     r"image_encoder/\1/\2/scale", "none"),
+    (r"^image_encoder\.(s\d+_b\d+)\.(GroupNorm_\d+)\.bias$",
+     r"image_encoder/\1/\2/bias", "none"),
+    (r"^image_encoder\.(Dense_0|gauss)\.weight$", r"image_encoder/\1/kernel", "linear_w"),
+    (r"^image_encoder\.(Dense_0|gauss)\.bias$", r"image_encoder/\1/bias", "none"),
+    # SVR mixer image encoder (MixerImageEncoderMirror naming)
+    (r"^image_encoder\.(embed|tok_in_\d+|tok_out_\d+|ch_in_\d+|ch_out_\d+|head)\.weight$",
+     r"image_encoder/\1/kernel", "linear_w"),
+    (r"^image_encoder\.(embed|tok_in_\d+|tok_out_\d+|ch_in_\d+|ch_out_\d+|head)\.bias$",
+     r"image_encoder/\1/bias", "none"),
+    (r"^image_encoder\.(ln_t_\d+|ln_c_\d+)\.weight$", r"image_encoder/\1/scale", "none"),
+    (r"^image_encoder\.(ln_t_\d+|ln_c_\d+)\.bias$", r"image_encoder/\1/bias", "none"),
 ]
 
 
@@ -134,7 +156,17 @@ def load_torch_checkpoint(
 
         model = DPF(cfg)
         rng = jax.random.PRNGKey(0)
-        template = model.init(rng, jnp.zeros((2, 16, 3)), rng)
+        if cfg.experiment == "svr":
+            # trace BOTH posterior paths: reference SVR checkpoints carry the
+            # point encoder too (the mirror does), but a plain SVR init only
+            # uses the image path, so the template would miss encoder params
+            s = cfg.model.image_encoder.image_size
+            template = model.init(
+                rng, jnp.zeros((2, 16, 3)), rng, jnp.zeros((2, s, s, 3)),
+                method=lambda m, x, r, im: (m.elbo_terms(x, r, im), m.encoder(x)),
+            )
+        else:
+            template = model.init(rng, jnp.zeros((2, 16, 3)), rng)
         problems = verify_against_template(params, template)
         if problems:
             raise ValueError(

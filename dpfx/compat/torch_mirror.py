@@ -151,9 +151,109 @@ class PointNetEncoder(nn.Module):
         return mu, torch.clamp(logvar, -10.0, 10.0)
 
 
+class ResBlockMirror(nn.Module):
+    """Mirrors dpfx.models.encoders.ResBlock with flax auto-names as torch
+    attribute names (Conv_0/Conv_1 = the 3x3 pair, Conv_2 = 1x1 proj when
+    channels change; GroupNorm eps matches flax's 1e-6 default). Runs in
+    NCHW; the parent converts from NHWC once at entry."""
+
+    def __init__(self, c_in: int, width: int):
+        super().__init__()
+        self.GroupNorm_0 = nn.GroupNorm(8, c_in, eps=1e-6)
+        self.Conv_0 = nn.Conv2d(c_in, width, 3, padding=1)
+        self.GroupNorm_1 = nn.GroupNorm(8, width, eps=1e-6)
+        self.Conv_1 = nn.Conv2d(width, width, 3, padding=1)
+        self.proj = c_in != width
+        if self.proj:
+            self.Conv_2 = nn.Conv2d(c_in, width, 1)
+
+    def forward(self, x):
+        h = self.Conv_0(F.gelu(self.GroupNorm_0(x), approximate="tanh"))
+        h = self.Conv_1(F.gelu(self.GroupNorm_1(h), approximate="tanh"))
+        if self.proj:
+            x = self.Conv_2(x)
+        return x + h
+
+
+class ConvImageEncoderMirror(nn.Module):
+    """torch mirror of ConvImageEncoder (SURVEY.md §2 C8): same flax
+    auto-names (Conv_0 stem, s{stage}_b{block} ResBlocks, Dense_0 head,
+    gauss) so the converter rules are mechanical regexes."""
+
+    def __init__(self, dz: int, widths=(32, 64, 128, 256), blocks_per_stage: int = 2):
+        super().__init__()
+        self.Conv_0 = nn.Conv2d(3, widths[0], 3, padding=1)
+        last = widths[0]
+        self.stages = []
+        for stage, w in enumerate(widths):
+            for b in range(blocks_per_stage):
+                name = f"s{stage}_b{b}"
+                setattr(self, name, ResBlockMirror(last, w))
+                self.stages.append(name)
+                last = w
+        self.Dense_0 = nn.Linear(widths[-1], 2 * widths[-1])
+        self.gauss = nn.Linear(2 * widths[-1], 2 * dz)
+        self.blocks_per_stage = blocks_per_stage
+
+    def forward(self, img):
+        """img: [B, H, W, 3] (flax NHWC contract) -> (mu, logvar)."""
+        h = img.permute(0, 3, 1, 2)  # NCHW for torch convs
+        h = self.Conv_0(h)
+        for i, name in enumerate(self.stages):
+            h = getattr(self, name)(h)
+            if (i + 1) % self.blocks_per_stage == 0:
+                h = F.avg_pool2d(h, 2)
+        g = h.mean(dim=(-2, -1))  # global average pool
+        g = F.gelu(self.Dense_0(g), approximate="tanh")
+        mu, logvar = self.gauss(g).chunk(2, dim=-1)
+        return mu, torch.clamp(logvar, -10.0, 10.0)
+
+
+class MixerImageEncoderMirror(nn.Module):
+    """torch mirror of MixerImageEncoder: patch embed + token/channel-mix
+    blocks, flax names (embed, ln_t_i, tok_in_i, ..., head, gauss);
+    LayerNorm eps matches flax's 1e-6."""
+
+    def __init__(self, dz: int, patch: int = 8, width: int = 256, depth: int = 4,
+                 image_size: int = 128):
+        super().__init__()
+        self.patch, self.depth = patch, depth
+        t = (image_size // patch) ** 2
+        self.embed = nn.Linear(patch * patch * 3, width)
+        for i in range(depth):
+            setattr(self, f"ln_t_{i}", nn.LayerNorm(width, eps=1e-6))
+            setattr(self, f"tok_in_{i}", nn.Linear(t, t * 2))
+            setattr(self, f"tok_out_{i}", nn.Linear(t * 2, t))
+            setattr(self, f"ln_c_{i}", nn.LayerNorm(width, eps=1e-6))
+            setattr(self, f"ch_in_{i}", nn.Linear(width, width * 2))
+            setattr(self, f"ch_out_{i}", nn.Linear(width * 2, width))
+        self.head = nn.Linear(width, width)
+        self.gauss = nn.Linear(width, 2 * dz)
+
+    def forward(self, img):
+        b, h, w, c = img.shape
+        p = self.patch
+        x = img.reshape(b, h // p, p, w // p, p, c)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        x = self.embed(x)
+        gelu = lambda v: F.gelu(v, approximate="tanh")
+        for i in range(self.depth):
+            y = getattr(self, f"ln_t_{i}")(x).transpose(1, 2)
+            y = getattr(self, f"tok_out_{i}")(gelu(getattr(self, f"tok_in_{i}")(y)))
+            x = x + y.transpose(1, 2)
+            y = getattr(self, f"ln_c_{i}")(x)
+            x = x + getattr(self, f"ch_out_{i}")(gelu(getattr(self, f"ch_in_{i}")(y)))
+        g = x.mean(dim=1)
+        g = gelu(self.head(g))
+        mu, logvar = self.gauss(g).chunk(2, dim=-1)
+        return mu, torch.clamp(logvar, -10.0, 10.0)
+
+
 class DPFMirror(nn.Module):
-    """Encoder + conditional point flow + latent prior flow (no image
-    encoder: SVR checkpoints add one module at the same slot)."""
+    """Encoder + conditional point flow + latent prior flow; with
+    cfg.experiment == "svr", an image encoder (conv or mixer per
+    cfg.model.image_encoder.arch) joins at the same slot — so reference
+    SVR checkpoints are convertible end-to-end (SURVEY.md §2 C12, §9.8)."""
 
     def __init__(self, cfg):
         super().__init__()
@@ -172,6 +272,16 @@ class DPFMirror(nn.Module):
             m.dz, tuple(m.encoder.point_widths), tuple(m.encoder.head_widths),
             activation=m.encoder.activation,
         )
+        if cfg.experiment == "svr":
+            ie = m.image_encoder
+            if ie.arch == "conv":
+                self.image_encoder = ConvImageEncoderMirror(
+                    m.dz, tuple(ie.widths), ie.blocks_per_stage
+                )
+            else:
+                self.image_encoder = MixerImageEncoderMirror(
+                    m.dz, ie.patch, ie.width, ie.depth, ie.image_size
+                )
 
     @torch.no_grad()
     def randomize_(self, seed: int = 0) -> None:

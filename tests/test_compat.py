@@ -98,6 +98,97 @@ def test_pt_file_roundtrip(tmp_path, converted):
     np.testing.assert_allclose(lp_j, lp_t, rtol=1e-4, atol=1e-4)
 
 
+def _svr_config(arch: str):
+    cfg = tiny_config(experiment="svr")
+    cfg.model.image_encoder.arch = arch
+    cfg.model.image_encoder.image_size = 32
+    cfg.model.image_encoder.patch = 8
+    cfg.model.image_encoder.width = 32
+    cfg.model.image_encoder.depth = 2
+    return cfg
+
+
+@pytest.mark.parametrize("arch", ["conv", "mixer"])
+def test_svr_image_encoder_parity(arch):
+    """SVR checkpoints (VERDICT r2 Missing #5): the image encoder converts
+    and reproduces the torch mirror's (mu, logvar) to float tolerance."""
+    cfg = _svr_config(arch)
+    mirror = DPFMirror(cfg)
+    mirror.randomize_(seed=11)
+    params = convert_state_dict(mirror.state_dict())
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    s = cfg.model.image_encoder.image_size
+    template = model.init(
+        rng, jnp.zeros((2, 16, 3)), rng, jnp.zeros((2, s, s, 3)),
+        method=lambda m, x, r, im: (m.elbo_terms(x, r, im), m.encoder(x)),
+    )
+    assert verify_against_template(params, template) == []
+
+    img = np.random.default_rng(4).normal(size=(2, s, s, 3)).astype(np.float32)
+    with torch.no_grad():
+        mu_t, lv_t = mirror.image_encoder(torch.from_numpy(img))
+    mu_j, lv_j = model.apply(
+        params, jnp.asarray(img), method=lambda m, a: m.image_encoder(a)
+    )
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_svr_pt_to_orbax_to_eval_roundtrip(tmp_path):
+    """End-to-end SVR path (SURVEY.md §9.8): torch.save an SVR mirror ->
+    load_torch_checkpoint (strict, config-verified) -> save_as_orbax ->
+    restore -> run the SVR posterior + decode on the restored params."""
+    import orbax.checkpoint as ocp
+
+    cfg = _svr_config("conv")
+    mirror = DPFMirror(cfg)
+    mirror.randomize_(seed=12)
+    pt = tmp_path / "svr_ref.pt"
+    torch.save({"model": mirror.state_dict()}, pt)
+
+    params = load_torch_checkpoint(str(pt), cfg)  # strict + template-verified
+    out_dir = tmp_path / "orbax"
+    from dpfx.compat import save_as_orbax
+
+    save_as_orbax(params, str(out_dir), step=0)
+    restored = ocp.StandardCheckpointer().restore(str(out_dir / "converted_0"))
+
+    model = DPF(cfg)
+    s = cfg.model.image_encoder.image_size
+    img = np.random.default_rng(5).normal(size=(2, s, s, 3)).astype(np.float32)
+    with torch.no_grad():
+        mu_t, _ = mirror.image_encoder(torch.from_numpy(img))
+    mu_j, _ = model.apply(
+        restored, jnp.asarray(img), method=lambda m, a: m.image_encoder(a)
+    )
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=1e-3, atol=1e-4)
+    # decode through the converted point flow off the image posterior
+    clouds = model.apply(
+        restored, jnp.asarray(mu_j), jax.random.PRNGKey(0), 64,
+        method=lambda m, z, r, n: m.decode(z, r, n),
+    )
+    assert clouds.shape == (2, 64, 3) and bool(jnp.all(jnp.isfinite(clouds)))
+
+
+def test_rules_file_equivalent_to_defaults(tmp_path):
+    """The shipped configs/convert_rules_example.yaml reproduces
+    DEFAULT_RULES exactly on a full SVR state_dict."""
+    from dpfx.compat import load_rules_file
+
+    rules = load_rules_file("configs/convert_rules_example.yaml")
+    cfg = _svr_config("conv")
+    mirror = DPFMirror(cfg)
+    mirror.randomize_(seed=13)
+    a = convert_state_dict(mirror.state_dict())  # DEFAULT_RULES
+    b = convert_state_dict(mirror.state_dict(), rules)
+    fa = jax.tree_util.tree_flatten_with_path(a)
+    fb = jax.tree_util.tree_flatten_with_path(b)
+    assert [p for p, _ in fa[0]] == [p for p, _ in fb[0]]
+    for (_, va), (_, vb) in zip(fa[0], fb[0]):
+        np.testing.assert_array_equal(va, vb)
+
+
 def test_unknown_key_strictness(converted):
     cfg, mirror, _, _, _ = converted
     sd = dict(mirror.state_dict())
