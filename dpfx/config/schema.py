@@ -206,6 +206,11 @@ class TrainConfig:
     #                              — ~20 ms/call through this box's tunnel)
     kl_weight: float = 1.0
     recon_reduction: str = "sum_points"  # sum_points | mean_points; VERIFY-vs-reference (§7)
+    # route the ELBO's point-flow term through the fused fwd(+logdet)
+    # custom-VJP Pallas kernels (dpfx/ops/fused_train.py) instead of XLA's
+    # per-layer HBM streaming; identical math (grad-parity tested), relu
+    # conditioner + no actnorm only (falls back with a warning otherwise)
+    fused_point_flow: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -215,6 +220,11 @@ class EvalConfig:
     batch_size: int = 32
     emd_iters: int = 10
     jsd_resolution: int = 28             # 28^3 voxel grid [pointflow-protocol]
+    # JSD grid frame when clouds exceed the radius-0.5 grid sphere (the
+    # shipped per_shape normalization reaches 1.0): "fit" = joint isotropic
+    # shrink of both sets into the grid (resolution-preserving default);
+    # "raw" = lineage edge-snap + warning. VERIFY-vs-reference (§9.7).
+    jsd_frame: str = "fit"
     # pairwise-matrix kernel mode for the gen suite: "" = per-kernel default
     # (CD exact, EMD fast); "fast" = bf16 everywhere (CD matrix 3.3x faster
     # on-chip, metric-level drift bounded in tests); "exact" = parity-grade

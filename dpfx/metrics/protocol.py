@@ -89,11 +89,21 @@ def evaluate_generation(
     labels: Optional[np.ndarray] = None,
     label_names: Optional[Dict[int, str]] = None,
 ) -> Dict[str, float]:
-    """Generation suite: |gen| = |ref| clouds of the ref's point count."""
+    """Generation suite: |gen| = |ref| clouds of the ref's point count.
+
+    With a multi-device mesh, sampling shards the cloud axis over it
+    (every chip generates, not just one) and the pairwise matrices row-
+    shard (SURVEY.md §2.2)."""
     from dpfx.sampling import make_sampler
 
     s, n = ref_clouds.shape[0], ref_clouds.shape[1]
-    sample_batch_fn = make_sampler(model, params, sample_batch, n)
+    nd = mesh.devices.size if mesh is not None else 1
+    if nd > 1 and sample_batch % nd:
+        sample_batch += (-sample_batch) % nd  # round up to a mesh multiple
+    sample_batch_fn = make_sampler(
+        model, params, sample_batch, n, mesh=mesh,
+        axis_name=cfg.parallel.axis_name,
+    )
 
     outs = []
     for i in range(0, s, sample_batch):
@@ -109,4 +119,5 @@ def evaluate_generation(
         ref_labels=labels,
         label_names=label_names,
         precision=cfg.eval.pairwise_precision or None,
+        jsd_frame=cfg.eval.jsd_frame,
     )

@@ -15,10 +15,11 @@ Two paths behind one API:
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dpfx.models import DPF
 from dpfx.ops.fused_sampler import (
@@ -26,6 +27,11 @@ from dpfx.ops.fused_sampler import (
     stack_point_flow_params,
 )
 from dpfx.ops.chamfer import _round_up
+
+try:  # public since jax 0.6; fall back for older trees
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 
 def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
@@ -42,10 +48,26 @@ def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
 
 
 def make_sampler(
-    model: DPF, params, n_clouds: int, n_points: int, fused: bool = True
+    model: DPF,
+    params,
+    n_clouds: int,
+    n_points: int,
+    fused: bool = True,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "data",
 ) -> Callable:
-    """Returns rng -> [n_clouds, n_points, 3], jitted with static shapes."""
+    """Returns rng -> [n_clouds, n_points, 3], jitted with static shapes.
+
+    With a multi-device ``mesh`` the cloud axis is sharded over it via
+    shard_map: each device runs the full pipeline (latent inverse + fused
+    point-flow inverse) on n_clouds/n_devices clouds with a per-device rng
+    fold — eval-time generation uses every chip instead of one
+    (SURVEY.md §2.2; VERDICT r2 Missing #6)."""
     pf_cfg = model.config.model.point_flow
+    if mesh is not None and mesh.devices.size > 1:
+        return _make_sharded_sampler(
+            model, params, n_clouds, n_points, fused, mesh, axis_name
+        )
     if fused and not pf_cfg.use_actnorm:
         sp = stack_point_flow_params(params, pf_cfg.scale_cap)
         dz = model.config.model.dz
@@ -67,6 +89,58 @@ def make_sampler(
         return model.apply(params, rng, n_clouds, n_points, method=model.sample)
 
     return jax.jit(sample_xla)
+
+
+def _make_sharded_sampler(
+    model: DPF, params, n_clouds: int, n_points: int, fused: bool,
+    mesh: Mesh, axis_name: str,
+) -> Callable:
+    """Cloud-axis-sharded sampler (one shard_map over the mesh)."""
+    nd = mesh.devices.size
+    if n_clouds % nd:
+        raise ValueError(
+            f"n_clouds={n_clouds} must be a multiple of the mesh size {nd}"
+        )
+    shard = n_clouds // nd
+    pf_cfg = model.config.model.point_flow
+    dz = model.config.model.dz
+
+    if fused and not pf_cfg.use_actnorm:
+        sp = stack_point_flow_params(params, pf_cfg.scale_cap)
+        dtype = jnp.dtype(pf_cfg.compute_dtype)
+        tile = min(2048, _round_up(n_points, 128))
+
+        # params/sp enter via closure (shard_map treats jaxpr consts as
+        # replicated): passing StackedFlowParams as an operand would trace
+        # its static scale_cap leaf into an f32[] tracer, which the Pallas
+        # kernel needs at python time
+        def per_device(rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+            kz, ku = jax.random.split(rng)
+            eps = jax.random.normal(kz, (shard, dz))
+            z, _ = model.apply(
+                params, eps, method=lambda m, e: m.latent_flow.inverse(e)
+            )
+            return _fused_noise_and_inverse(
+                sp, z, ku, shard, n_points, tile, dtype, pf_cfg.activation
+            )
+
+        fn = _shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(),), out_specs=P(axis_name),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+        return jax.jit(fn)
+
+    def per_device_xla(rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        return model.apply(params, rng, shard, n_points, method=model.sample)
+
+    fn = _shard_map(
+        per_device_xla, mesh=mesh, in_specs=(P(),), out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_decoder(model: DPF, params, n_points: int, fused: bool = True) -> Callable:
