@@ -131,6 +131,28 @@ class DPF(nn.Module):
         recon_ll = jnp.sum(logp_x, axis=-1)               # [B]
         return dict(recon_ll=recon_ll, logp_z=logp_z, logq=logq, z=z)
 
+    def elbo_latent_terms(
+        self, x: Array, rng: Array, image: Optional[Array] = None,
+        eps: Optional[Array] = None,
+    ) -> dict:
+        """Posterior + latent-prior ELBO pieces WITHOUT the point-flow
+        reconstruction term — the fused-train path (dpfx.ops.fused_train)
+        computes recon_ll outside apply() through the custom-VJP kernels.
+
+        ``eps`` (optional) supplies the reparameterization noise: the
+        shard_map train step draws it OUTSIDE the sharded region with the
+        global batch shape, so per-device local shapes don't change the
+        random stream vs the single-device step."""
+        mu, logvar = self.posterior(x, image)
+        if eps is None:
+            eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+        z = mu + jnp.exp(0.5 * logvar) * eps
+        return dict(
+            logq=gaussian_logprob(z, mu, logvar),
+            logp_z=self.latent_flow.log_prob(z),
+            z=z,
+        )
+
     def __call__(self, x: Array, rng: Array, image: Optional[Array] = None) -> Array:
         """Negative ELBO per cloud (init/apply default)."""
         t = self.elbo_terms(x, rng, image)

@@ -20,6 +20,23 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+_fused_warned: set = set()
+
+
+def _warn_fused_unsupported(flow_cfg) -> None:
+    key = (flow_cfg.activation, flow_cfg.use_actnorm)
+    if key not in _fused_warned:
+        _fused_warned.add(key)
+        import warnings
+
+        warnings.warn(
+            "dpfx.train: fused_point_flow requested but the flow config "
+            f"(activation={flow_cfg.activation!r}, actnorm="
+            f"{flow_cfg.use_actnorm}) is outside the fused kernels' "
+            "support; using the XLA path",
+            stacklevel=3,
+        )
+
 
 def elbo_loss(
     model,
@@ -29,9 +46,34 @@ def elbo_loss(
     image: Optional[Array] = None,
     kl_weight: float = 1.0,
     recon_reduction: str = "sum_points",
+    fused_point_flow: bool = False,
+    eps: Optional[Array] = None,
 ) -> Tuple[Array, dict]:
-    """Returns (scalar loss, metrics dict). x: [B, N, 3]."""
-    t = model.apply(params, x, rng, image, method=model.elbo_terms)
+    """Returns (scalar loss, metrics dict). x: [B, N, 3].
+
+    ``fused_point_flow=True`` routes the reconstruction term through the
+    fused forward(+log-det) custom-VJP Pallas kernels
+    (dpfx.ops.fused_train) — identical math, VMEM-resident layer chain
+    instead of XLA's per-layer HBM streaming. Falls back to the XLA path
+    (with a one-time warning) when the flow configuration is outside the
+    kernels' support (non-relu activation / actnorm)."""
+    if fused_point_flow:
+        from dpfx.ops.fused_train import (
+            fused_point_flow_recon_ll,
+            fused_train_supported,
+        )
+
+        flow_cfg = model.config.model.point_flow
+        if fused_train_supported(flow_cfg):
+            t = model.apply(params, x, rng, image, eps,
+                            method=model.elbo_latent_terms)
+            t = dict(t)
+            t["recon_ll"] = fused_point_flow_recon_ll(params, x, t["z"], flow_cfg)
+        else:
+            _warn_fused_unsupported(flow_cfg)
+            t = model.apply(params, x, rng, image, method=model.elbo_terms)
+    else:
+        t = model.apply(params, x, rng, image, method=model.elbo_terms)
     n = x.shape[-2]
     recon = t["recon_ll"]
     kl = t["logq"] - t["logp_z"]  # MC estimate of KL(q || p) per cloud
