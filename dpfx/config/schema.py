@@ -191,6 +191,7 @@ class TrainConfig:
     lr_schedule: str = "cosine"  # cosine | constant | step
     lr_decay_steps: int = 0      # 0 -> use `steps`
     lr_min_ratio: float = 0.01
+    lr_warmup_steps: int = 0     # linear warmup prefix; VERIFY-vs-reference
     weight_decay: float = 0.0
     grad_clip: float = 10.0      # 0 disables; flows blow up without it
     #                              (gnorm ~8k observed; VERIFY-vs-reference)

@@ -54,6 +54,18 @@ Array = jax.Array
 _EPS = 1e-9
 _DEFAULT_ITERS = 10
 
+# Fast-mode pairwise tuning knobs (A/B'd on-chip, round 3):
+#   DPFX_EMD_DCACHE=1  - cache the bf16 distance tiles once before the level
+#                        loop instead of recomputing the distance matmul at
+#                        every annealing level (10x fewer distance matmuls;
+#                        costs an [Np, Mp] bf16 scratch).
+#   DPFX_EMD_VMEM_MB   - raise Mosaic's 16 MB scoped-vmem limit (needed for
+#                        the d-cache / unrolled tile loops at N=2048).
+import os as _os
+
+EMD_DCACHE = _os.environ.get("DPFX_EMD_DCACHE", "0") == "1"
+EMD_VMEM_MB = int(_os.environ.get("DPFX_EMD_VMEM_MB", "0"))
+
 
 def match_levels(n_iters: int = _DEFAULT_ITERS) -> List[float]:
     """Annealing schedule: j = n_iters-3 .. -2; level = -4^j, 0 at j=-2."""
@@ -149,7 +161,7 @@ def _emd_kernel_body(
                 body(i, 0)
         else:
             jax.lax.fori_loop(0, nt, body, 0, unroll=False)
-    (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy) = scratches
+    (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache, gx, gy) = scratches
     nt = n_pad // tn
     factorl = float(max(n, m) / n)
     factorr = float(max(n, m) / m)
@@ -183,11 +195,27 @@ def _emd_kernel_body(
     def d_tile_fast(i):
         # fast mode: single-pass bf16 distance matmul (exact mode keeps the
         # HIGHEST 3-pass; see chamfer fast mode for the same trade)
+        if dcache is not None:
+            return dcache[pl.ds(i * tn, tn), :]
         xt = x_ref[0, pl.ds(i * tn, tn), :]
         x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
         xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
                      preferred_element_type=jnp.float32)
         return jnp.maximum(x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
+
+    if dcache is not None:
+        # fill the distance cache ONCE; every annealing level then reads it
+        # instead of redoing the distance matmul (fast mode only)
+        def pfill(i, _):
+            xt = x_ref[0, pl.ds(i * tn, tn), :]
+            x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
+            xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
+                         preferred_element_type=jnp.float32)
+            dcache[pl.ds(i * tn, tn), :] = jnp.maximum(
+                x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
+            return 0
+
+        tile_loop(pfill)
 
     def level_body(it, _):
         # level = -4^(n_iters-3-it), except 0 on the final iteration
@@ -302,7 +330,7 @@ def _emd_pallas_batched(
             gx, gy = rest.pop(0), rest.pop(0)
         _emd_kernel_body(
             x_ref, y_ref,
-            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, gx, gy),
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None, gx, gy),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=with_grad, exact=not use_cache,
             unroll_tiles=unroll_tiles,
@@ -371,16 +399,19 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
     s2, m_pad = yp.shape[0], yp.shape[1]
     s2_pad = _round_up(s2, 128)
 
+    use_dcache = EMD_DCACHE and not exact
+
     def kernel(x_ref, y_ref, cost_ref, *rest):
         rest = list(rest)
         remainl, remainr, rowsum, colsum, cdist, cost = rest[:6]
         rest = rest[6:]
         wcache = rest.pop(0) if not exact else None
+        dcache = rest.pop(0) if use_dcache else None
         costrow = rest.pop(0)
         b_ = pl.program_id(1)
         _emd_kernel_body(
             x_ref, y_ref,
-            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None, None),
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache, None, None),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=False, exact=exact,
             unroll_tiles=unroll_tiles,
@@ -410,8 +441,12 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
             pltpu.SMEM((1, 1), jnp.float32),            # cost (scalar: SMEM only)
         ]
         + ([] if exact else [pltpu.VMEM((n_pad, m_pad), jnp.bfloat16)])
+        + ([pltpu.VMEM((n_pad, m_pad), jnp.bfloat16)] if use_dcache else [])
         + [pltpu.VMEM((1, s2_pad), jnp.float32)],
         interpret=_interpret(),
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=EMD_VMEM_MB * 1024 * 1024)}
+           if EMD_VMEM_MB and not _interpret() else {}),
     )(xp, yp)
     return out[:, 0, :s2]
 

@@ -43,17 +43,27 @@ class TrainState:
 
 def make_schedule(tcfg) -> optax.Schedule:
     decay_steps = tcfg.lr_decay_steps or tcfg.steps
+    warmup = tcfg.lr_warmup_steps
     if tcfg.lr_schedule == "cosine":
-        return optax.cosine_decay_schedule(
-            tcfg.lr, decay_steps, alpha=tcfg.lr_min_ratio
-        )
-    if tcfg.lr_schedule == "constant":
-        return optax.constant_schedule(tcfg.lr)
-    if tcfg.lr_schedule == "step":
+        if warmup > 0:
+            return optax.warmup_cosine_decay_schedule(
+                0.0, tcfg.lr, warmup, decay_steps,
+                end_value=tcfg.lr * tcfg.lr_min_ratio,
+            )
+        sched = optax.cosine_decay_schedule(tcfg.lr, decay_steps, alpha=tcfg.lr_min_ratio)
+    elif tcfg.lr_schedule == "constant":
+        sched = optax.constant_schedule(tcfg.lr)
+    elif tcfg.lr_schedule == "step":
         # halve every quarter of training — VERIFY-vs-reference schedule
         bounds = {decay_steps // 4 * (i + 1): 0.5 for i in range(3)}
-        return optax.piecewise_constant_schedule(tcfg.lr, bounds)
-    raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+        sched = optax.piecewise_constant_schedule(tcfg.lr, bounds)
+    else:
+        raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+    if warmup > 0:
+        sched = optax.join_schedules(
+            [optax.linear_schedule(0.0, tcfg.lr, warmup), sched], [warmup]
+        )
+    return sched
 
 
 def make_optimizer(tcfg) -> optax.GradientTransformation:

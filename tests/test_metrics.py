@@ -2,6 +2,8 @@
 1-NNA sanity on separable/identical sets, JSD properties, mesh-sharded
 pairwise matrices, and end-to-end eval protocols on a tiny model."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -276,3 +276,18 @@ def test_sharded_sampler_matches_shape_and_varies_per_shard():
 
     with pytest.raises(ValueError):
         make_sampler(model, params, 15, 64, mesh=mesh)  # not a mesh multiple
+
+
+def test_lr_warmup_schedule():
+    """train.lr_warmup_steps prefixes a linear ramp onto every schedule."""
+    from dpfx.train.trainer import make_schedule
+
+    cfg = tiny_config(train={"lr": 1e-3, "lr_warmup_steps": 100, "steps": 1000})
+    sched = make_schedule(cfg.train)
+    assert float(sched(0)) < 1e-5
+    np.testing.assert_allclose(float(sched(50)), 5e-4, rtol=0.05)
+    np.testing.assert_allclose(float(sched(100)), 1e-3, rtol=0.02)
+    assert float(sched(999)) < 1e-3  # cosine decay after the ramp
+
+    cfg2 = tiny_config(train={"lr": 1e-3, "lr_warmup_steps": 0})
+    np.testing.assert_allclose(float(make_schedule(cfg2.train)(0)), 1e-3, rtol=1e-5)
