@@ -193,3 +193,18 @@ def test_global_stats_subsample_is_seeded_and_warned(npy_tree):
         )
     np.testing.assert_allclose(a.stats.mean, b.stats.mean)
     assert a.stats.scale == b.stats.scale
+
+
+def test_prefetch_batches_passthrough():
+    """Threaded prefetch (data.num_workers) yields the same batches in the
+    same order as the plain iterator."""
+    import numpy as np
+
+    from dpfx.data import SyntheticDataset, iterate_batches, prefetch_batches
+
+    ds = SyntheticDataset(size=16, n_stored=64, split="train")
+    a = list(iterate_batches(ds, 4, 32, seed=3, epochs=2))
+    b = list(prefetch_batches(iterate_batches(ds, 4, 32, seed=3, epochs=2), depth=3))
+    assert len(a) == len(b)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["x"], bb["x"])
