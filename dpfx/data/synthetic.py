@@ -52,17 +52,25 @@ class SyntheticDataset:
         modes: int = 4,
         seed: int = 0,
         split: str = "train",
+        cache: bool = True,
     ):
         self.size = size
         self.n_stored = n_stored
         self.modes = modes
         # distinct item streams per split
         self.base = {"train": 0, "val": 1_000_000, "test": 2_000_000}[split] + seed * 10_000_000
+        # items are deterministic in (seed, idx), so memoize: regenerating a
+        # 4096-point cloud per fetch made long synthetic runs host-bound
+        # (~1.5M pts/s wall vs 10.8M device in the round-3 endurance run);
+        # a full 512-cloud set is only ~25 MB
+        self._cache: dict | None = {} if cache else None
 
     def __len__(self) -> int:
         return self.size
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self.base + idx)
         kind = idx % 3
         scale = 0.5 + 0.5 * rng.uniform()
@@ -72,4 +80,7 @@ class SyntheticDataset:
             pts = _box(rng, self.n_stored, scale)
         else:
             pts = _blobs(rng, self.n_stored, scale, self.modes)
-        return pts.astype(np.float32)
+        out = pts.astype(np.float32)
+        if self._cache is not None:
+            self._cache[idx] = out
+        return out
