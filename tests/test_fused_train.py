@@ -187,3 +187,45 @@ def test_fused_multi_step_sharded_matches_single():
     for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
                                    atol=1e-6)
+
+
+def test_fused_bf16_compute_dtype_close_to_flax():
+    """The flagship trains with compute_dtype=bfloat16: the fused kernels
+    must match the flax bf16 path to bf16-appropriate tolerance (both
+    paths quantize matmul inputs to bf16; coupling math stays f32)."""
+    cfg = config_from_dict({
+        "experiment": "ae",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 6, "hidden": 32, "n_hidden": 2,
+                           "compute_dtype": "bfloat16"},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+    })
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.normal(rng, (4, 256, 3))
+    z = jax.random.normal(jax.random.fold_in(rng, 1), (4, 16))
+    params = model.init(rng, x, rng)
+    params = jax.tree.map(
+        lambda a: a + 0.05 * jax.random.normal(jax.random.PRNGKey(4), a.shape),
+        params,
+    )
+    a = ref_recon_ll(model, params, x, z)
+    b = fused_point_flow_recon_ll(params, x, z, cfg.model.point_flow)
+    # bf16 matmuls: ~3 decimal digits; values are O(1e3)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-2)
+
+    ga = jax.grad(lambda p: ref_recon_ll(model, p, x, z).sum())(params)
+    gb = jax.grad(
+        lambda p: fused_point_flow_recon_ll(p, x, z, cfg.model.point_flow).sum()
+    )(params)
+    for (pa, va), (_, vb) in zip(
+        jax.tree_util.tree_flatten_with_path(ga)[0],
+        jax.tree_util.tree_flatten_with_path(gb)[0],
+    ):
+        name = "/".join(str(getattr(q, "key", q)) for q in pa)
+        na = float(jnp.linalg.norm(va))
+        d = float(jnp.linalg.norm(va - vb))
+        assert d <= 0.05 * na + 1e-2, f"bf16 grad drift at {name}: {d} vs norm {na}"
