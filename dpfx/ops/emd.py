@@ -63,8 +63,11 @@ _DEFAULT_ITERS = 10
 #                        the d-cache / unrolled tile loops at N=2048).
 import os as _os
 
-EMD_DCACHE = _os.environ.get("DPFX_EMD_DCACHE", "0") == "1"
-EMD_VMEM_MB = int(_os.environ.get("DPFX_EMD_VMEM_MB", "0"))
+# Defaults (round 3): vmem 32MB — the fast kernel's scoped stack measured
+# 18.17M at S2=400 (the real protocol scale), over Mosaic's 16M default;
+# dcache on — zero drift, small win, and the scratch fits under 32M.
+EMD_DCACHE = _os.environ.get("DPFX_EMD_DCACHE", "1") == "1"
+EMD_VMEM_MB = int(_os.environ.get("DPFX_EMD_VMEM_MB", "32"))
 
 
 def match_levels(n_iters: int = _DEFAULT_ITERS) -> List[float]:
