@@ -248,24 +248,47 @@ def make_multi_step(
 def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     """Validation negative-ELBO (deterministic rng per batch)."""
 
-    def eval_fn(params, batch: Dict[str, Array], rng: Array):
-        _, metrics = elbo_loss(
-            model,
-            params,
-            batch["x"],
-            rng,
-            image=batch.get("image"),
-            kl_weight=cfg.train.kl_weight,
-            recon_reduction=cfg.train.recon_reduction,
-            fused_point_flow=cfg.train.fused_point_flow,
-        )
-        return metrics
+    def make_eval_fn(pmean_axis: Optional[str] = None):
+        def eval_fn(params, batch: Dict[str, Array], rng: Array):
+            _, metrics = elbo_loss(
+                model,
+                params,
+                batch["x"],
+                rng,
+                image=batch.get("image"),
+                kl_weight=cfg.train.kl_weight,
+                recon_reduction=cfg.train.recon_reduction,
+                fused_point_flow=cfg.train.fused_point_flow,
+                eps=batch.get("eps"),
+            )
+            if pmean_axis is not None:
+                metrics = jax.lax.pmean(metrics, pmean_axis)
+            return metrics
+
+        return eval_fn
 
     if mesh is None or mesh.devices.size == 1:
-        return jax.jit(eval_fn)
+        return jax.jit(make_eval_fn())
+    axis = cfg.parallel.axis_name
+    if cfg.train.fused_point_flow:
+        # same shard_map treatment as the train step: pallas doesn't
+        # partition under pjit, and the out-of-region eps draw keeps the
+        # metric stream identical to single-device
+        sharded = _shard_map(
+            make_eval_fn(pmean_axis=axis), mesh=mesh,
+            in_specs=(P(), P(axis), P()), out_specs=P(),
+            check_vma=False,
+        )
+        dz = cfg.model.dz
+
+        def entry(params, batch: Dict[str, Array], rng: Array):
+            eps = jax.random.normal(rng, (batch["x"].shape[0], dz))
+            return sharded(params, {**batch, "eps": eps}, rng)
+
+        return jax.jit(entry)
     repl = NamedSharding(mesh, P())
-    bsh = NamedSharding(mesh, P(cfg.parallel.axis_name))
-    return jax.jit(eval_fn, in_shardings=(repl, bsh, repl), out_shardings=repl)
+    bsh = NamedSharding(mesh, P(axis))
+    return jax.jit(make_eval_fn(), in_shardings=(repl, bsh, repl), out_shardings=repl)
 
 
 class CheckpointManager:

@@ -229,3 +229,24 @@ def test_fused_bf16_compute_dtype_close_to_flax():
         na = float(jnp.linalg.norm(va))
         d = float(jnp.linalg.norm(va - vb))
         assert d <= 0.05 * na + 1e-2, f"bf16 grad drift at {name}: {d} vs norm {na}"
+
+
+def test_fused_eval_step_sharded_matches_single():
+    """make_eval_step with fused kernels on a mesh (shard_map + pmean +
+    out-of-region eps) == the single-device fused eval."""
+    from dpfx.parallel import create_mesh
+    from dpfx.train import init_state, make_optimizer
+    from dpfx.train.trainer import make_eval_step
+
+    cfg, model, params, x, _ = make_model(b=8, n=256)
+    cfg.train.fused_point_flow = True
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, cfg, rng, make_optimizer(cfg.train))
+
+    ev1 = make_eval_step(model, cfg, None)
+    ev8 = make_eval_step(model, cfg, create_mesh())
+    m1 = ev1(state.params, {"x": x}, rng)
+    m8 = ev8(state.params, {"x": x}, rng)
+    for k in m1:
+        np.testing.assert_allclose(float(m8[k]), float(m1[k]), rtol=1e-5,
+                                   err_msg=f"metric {k}")

@@ -31,7 +31,13 @@ sys.path.insert(0, "/root/repo")
 
 from dpfx.utils.profiling import chain_time_ms
 
-L, H, T = 32, 128, 2048
+import os
+L = int(os.environ.get("PROBE_L", "32"))
+G = int(os.environ.get("PROBE_G", "16"))  # grid steps per invocation: the
+# first probe design used grid=(1,) and measured ~1.1 ms PER INVOCATION
+# regardless of L (32 or 320!) — per-custom-call overhead swamps compute;
+# amortize over G grid steps like the real sampler does
+H, T = 128, 2048
 
 
 def _kernel(w_ref, x_ref, v_ref, ox_ref, ov_ref, *, do_mxu: bool, do_vpu: bool):
@@ -59,19 +65,19 @@ def build(do_mxu: bool, do_vpu: bool):
     def run(x, v):
         return pl.pallas_call(
             kernel,
-            grid=(1,),
+            grid=(G,),
             in_specs=[
                 pl.BlockSpec((L, H, H), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, H, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 8, T), lambda b: (0, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, H, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, T), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((1, H, T), jnp.float32),
-                jax.ShapeDtypeStruct((1, 8, T), jnp.float32),
+                jax.ShapeDtypeStruct((G, H, T), jnp.float32),
+                jax.ShapeDtypeStruct((G, 8, T), jnp.float32),
             ],
         )(w, x, v)
 
@@ -80,8 +86,8 @@ def build(do_mxu: bool, do_vpu: bool):
 
 def main():
     rng = np.random.default_rng(1)
-    x0 = jnp.asarray(rng.normal(size=(1, H, T)), jnp.float32)
-    v0 = jnp.asarray(rng.normal(size=(1, 8, T)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(G, H, T)), jnp.float32)
+    v0 = jnp.asarray(rng.normal(size=(G, 8, T)), jnp.float32)
 
     for name, mxu, vpu in [("A mxu-only", True, False),
                            ("B mxu+vpu", True, True),
@@ -92,10 +98,10 @@ def main():
             x, v = carry
             # perturb with the loop index so nothing hoists (chain-v2 rule)
             ox, ov = run(x * (1.0 + 1e-12 * i), v)
-            return (ox, ov), ox[0, 0, 0]
+            return (ox, ov), ox[0, 0, 0]  # [G,...] carries through
 
         dt = chain_time_ms(lambda c, i: step(c, i), (x0, v0), reps=30)
-        print(f"{name}: {dt:.3f} ms ({dt/L*1000:.1f} us/layer)", flush=True)
+        print(f"{name}: {dt:.3f} ms ({dt/(G*L)*1000:.2f} us/grid-layer)", flush=True)
 
 
 if __name__ == "__main__":
