@@ -126,13 +126,25 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_BASELINE_CACHE.json")
 
 
+def _cache_key() -> dict:
+    """The cached baseline is only valid for the same chip kind and bench
+    shapes — another host (±20% cross-chip variance) or edited constants
+    must re-measure."""
+    return {
+        "protocol": "chain-v2",
+        "device_kind": jax.devices()[0].device_kind,
+        "shapes": [B, N, TRAIN_B, TRAIN_N, SAMPLE_REPS, TRAIN_REPS],
+    }
+
+
 def _load_baseline_cache():
     if os.environ.get("DPFX_BENCH_REBASELINE"):
         return None
     try:
         with open(BASELINE_CACHE) as f:
             c = json.load(f)
-        if c.get("protocol") == "chain-v2":
+        key = _cache_key()
+        if all(c.get(k) == v for k, v in key.items()):
             return c
     except (OSError, ValueError):
         pass
@@ -157,7 +169,7 @@ def main() -> None:
             train_base = bench_train(base)
             with open(BASELINE_CACHE, "w") as f:
                 json.dump({
-                    "protocol": "chain-v2",
+                    **_cache_key(),
                     "date": datetime.date.today().isoformat(),
                     "sample_baseline_value": sample_base,
                     "train_baseline_value": train_base,

@@ -70,27 +70,51 @@ def prefetch_batches(batches: Iterator, depth: int = 2) -> Iterator:
     loader analogue of the reference's DataLoader worker processes
     (SURVEY.md §2 C4), wired to ``data.num_workers``. The prep is
     numpy-only (releases the GIL in the gather), so one thread suffices to
-    hide it behind the device step."""
+    hide it behind the device step.
+
+    Worker exceptions re-raise in the consumer (a crashed loader must not
+    masquerade as normal exhaustion), and abandoning the generator early
+    (the normal case: Trainer.fit breaks at its step budget on an infinite
+    iterator) unblocks and terminates the worker instead of leaking a
+    thread parked on a full queue."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    stop = threading.Event()
     _END = object()
+
+    def _put(item) -> None:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     def worker():
         try:
             for b in batches:
-                q.put(b)
-        finally:
-            q.put(_END)
+                _put(b)
+                if stop.is_set():
+                    return
+        except BaseException as e:  # re-raised on the consumer side
+            _put(e)
+            return
+        _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        b = q.get()
-        if b is _END:
-            break
-        yield b
+    try:
+        while True:
+            b = q.get()
+            if b is _END:
+                break
+            if isinstance(b, BaseException):
+                raise b
+            yield b
+    finally:
+        stop.set()
 
 
 def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None) -> np.ndarray:

@@ -239,10 +239,15 @@ def jsd_between_sets(
     ``frame`` handles clouds extending past the grid sphere (with this
     repo's default `normalize: per_shape`, clouds reach radius 1.0 — twice
     the grid):
-      * "fit" (default): apply ONE joint isotropic shrink, 0.5/max_radius
-        over gen ∪ ref, to both sets — relative geometry is untouched, the
-        full grid resolution is used, and nothing saturates at the edge.
-        In-sphere data is bit-identical to the lineage (no scaling applied).
+      * "fit" (default): one isotropic shrink, 0.5/max_radius of the
+        REFERENCE set, applied to both sets. Anchoring the frame to the
+        reference keeps it deterministic across evaluations of the same
+        test split (JSD curves stay comparable during training) and means
+        a single outlier point in a degenerate GENERATED set cannot
+        collapse the reference histogram; generated points still outside
+        the scaled grid snap to edge nodes (lineage behavior) with a
+        warning when the spill is non-negligible. In-sphere data is
+        bit-identical to the lineage (no scaling applied).
       * "raw": lineage edge-snap behavior — out-of-sphere points assign to
         their nearest in-sphere node — with a loud warning.
     VERIFY-vs-reference when the mount appears (SURVEY.md §9.7): whether
@@ -253,24 +258,35 @@ def jsd_between_sets(
     gen = np.asarray(gen)
     ref = np.asarray(ref)
     bound = 0.5 + 1e-4
-    max_r = max(
-        float(np.linalg.norm(gen.reshape(-1, 3), axis=1).max()),
-        float(np.linalg.norm(ref.reshape(-1, 3), axis=1).max()),
-    )
-    if max_r > bound:
-        if frame == "fit":
-            scale = 0.5 / max_r
+    if frame == "fit":
+        ref_r = float(np.linalg.norm(ref.reshape(-1, 3), axis=1).max())
+        if ref_r > bound:
+            scale = 0.5 / ref_r
             gen = gen * scale
             ref = ref * scale
-        elif frame == "raw":
+        gen_r = np.linalg.norm(gen.reshape(-1, 3), axis=1)
+        spill = float(np.mean(gen_r > bound))
+        if spill > 1e-3:
+            warnings.warn(
+                f"dpfx.metrics: {spill:.1%} of generated points fall outside "
+                f"the reference-anchored JSD grid sphere and snap to edge "
+                f"nodes (gen max radius {gen_r.max():.3f} vs grid 0.5)",
+                stacklevel=2,
+            )
+    elif frame == "raw":
+        max_r = max(
+            float(np.linalg.norm(gen.reshape(-1, 3), axis=1).max()),
+            float(np.linalg.norm(ref.reshape(-1, 3), axis=1).max()),
+        )
+        if max_r > bound:
             warnings.warn(
                 f"dpfx.metrics: clouds extend to radius {max_r:.3f} > 0.5 — "
                 f"the JSD grid covers the unit sphere (diameter 1); points "
                 f"outside snap to edge nodes [pointflow-protocol convention]",
                 stacklevel=2,
             )
-        else:
-            raise ValueError(f"unknown jsd frame {frame!r} (fit | raw)")
+    else:
+        raise ValueError(f"unknown jsd frame {frame!r} (fit | raw)")
     grid = _sphere_grid(resolution)
     return _jensen_shannon_base2(
         _grid_counters(gen, grid), _grid_counters(ref, grid)

@@ -42,20 +42,26 @@ class TrainState:
 
 
 def make_schedule(tcfg) -> optax.Schedule:
+    """LR schedule with a uniform warmup convention: ``lr_warmup_steps`` of
+    linear ramp occupy the FIRST part of the ``decay_steps`` horizon, and
+    every schedule reaches its terminal value at ``decay_steps`` exactly
+    (the decay phase is compressed into decay_steps - warmup, never
+    shifted past the step budget)."""
     decay_steps = tcfg.lr_decay_steps or tcfg.steps
-    warmup = tcfg.lr_warmup_steps
+    warmup = min(tcfg.lr_warmup_steps, max(decay_steps - 1, 0))
+    span = decay_steps - warmup
     if tcfg.lr_schedule == "cosine":
         if warmup > 0:
             return optax.warmup_cosine_decay_schedule(
                 0.0, tcfg.lr, warmup, decay_steps,
                 end_value=tcfg.lr * tcfg.lr_min_ratio,
             )
-        sched = optax.cosine_decay_schedule(tcfg.lr, decay_steps, alpha=tcfg.lr_min_ratio)
-    elif tcfg.lr_schedule == "constant":
+        return optax.cosine_decay_schedule(tcfg.lr, decay_steps, alpha=tcfg.lr_min_ratio)
+    if tcfg.lr_schedule == "constant":
         sched = optax.constant_schedule(tcfg.lr)
     elif tcfg.lr_schedule == "step":
-        # halve every quarter of training — VERIFY-vs-reference schedule
-        bounds = {decay_steps // 4 * (i + 1): 0.5 for i in range(3)}
+        # halve every quarter of the (post-warmup) span — VERIFY-vs-reference
+        bounds = {span // 4 * (i + 1): 0.5 for i in range(3)}
         sched = optax.piecewise_constant_schedule(tcfg.lr, bounds)
     else:
         raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")

@@ -84,3 +84,97 @@ def test_emd_primal_is_forward_only():
     np.testing.assert_array_equal(
         np.asarray(emd(x, y, "pallas")), np.asarray(emd_nograd(x, y, "pallas"))
     )
+
+
+# --- round-3 code-review fixes ---------------------------------------------
+
+
+def test_prefetch_propagates_worker_exception():
+    """A crashed loader must re-raise in the consumer, not masquerade as
+    normal exhaustion (review r3 finding 1)."""
+    import pytest
+
+    from dpfx.data import prefetch_batches
+
+    def bad_iter():
+        yield {"x": 1}
+        raise RuntimeError("corrupt shard")
+
+    it = prefetch_batches(bad_iter(), depth=2)
+    assert next(it) == {"x": 1}
+    with pytest.raises(RuntimeError, match="corrupt shard"):
+        next(it)
+
+
+def test_prefetch_early_abandon_stops_worker():
+    """Breaking out of the consumer (Trainer.fit's step budget on an
+    infinite iterator) must terminate the worker thread (finding 6)."""
+    import itertools
+    import threading
+    import time
+
+    from dpfx.data import prefetch_batches
+
+    before = threading.active_count()
+    it = prefetch_batches(({"i": i} for i in itertools.count()), depth=2)
+    assert next(it)["i"] == 0
+    it.close()  # what GC / leaving the loop does
+    deadline = time.time() + 5
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+
+
+def test_jsd_fit_frame_is_reference_anchored():
+    """A single outlier in the GENERATED set must not collapse the
+    reference histogram or change the frame between evals (finding 2)."""
+    import warnings
+
+    import numpy as np
+
+    from dpfx.metrics import jsd_between_sets
+
+    rng = np.random.default_rng(5)
+
+    def per_shape(n=6):
+        c = rng.normal(size=(n, 96, 3))
+        c -= c.mean(1, keepdims=True)
+        return (c / np.linalg.norm(c, axis=2, keepdims=True).max(1, keepdims=True)
+                ).astype(np.float32)
+
+    ref = per_shape()
+    gen = per_shape()
+    gen_outlier = gen.copy()
+    gen_outlier[0, 0] = [80.0, 0, 0]  # one absurd point
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        base = jsd_between_sets(gen, ref)
+        spiked = jsd_between_sets(gen_outlier, ref)
+    # the ref-anchored frame means one bad point perturbs JSD only via its
+    # own (1-point) histogram mass, not by rescaling everything
+    assert abs(spiked - base) < 0.02, (base, spiked)
+
+
+def test_warmup_horizon_uniform_across_schedules():
+    """All schedules reach their terminal phase by decay_steps with warmup
+    compressed INSIDE the horizon, never shifting past it (finding 5)."""
+    import numpy as np
+
+    from dpfx.config import config_from_dict
+    from dpfx.train.trainer import make_schedule
+
+    def cfg(sched):
+        return config_from_dict({
+            "train": {"lr": 1e-3, "lr_warmup_steps": 1000, "steps": 20000,
+                      "lr_schedule": sched}
+        }).train
+
+    for name in ("cosine", "constant", "step"):
+        s = make_schedule(cfg(name))
+        assert float(s(0)) < 1e-5, name
+        np.testing.assert_allclose(float(s(1000)), 1e-3, rtol=0.02, err_msg=name)
+    # step: halvings land inside the horizon (first at 1000 + 19000//4)
+    s = make_schedule(cfg("step"))
+    assert float(s(1000 + 19000 // 4 + 1)) < 0.75e-3
+    assert float(s(19999)) < 0.25e-3  # all three halvings happened by the end

@@ -65,11 +65,10 @@ def main(argv=None) -> int:
             batches = iter(nb)
         else:
             print("[dpfx] native loader unavailable; falling back to numpy loader")
-            batches = iterate_batches(
-                train_ds, cfg.train.batch_size, cfg.data.n_points,
-                seed=cfg.train.seed, with_images=svr,
-            )
+            batches = None
     else:
+        batches = None
+    if batches is None:  # python loader path (either branch above)
         batches = iterate_batches(
             train_ds, cfg.train.batch_size, cfg.data.n_points,
             seed=cfg.train.seed, with_images=svr,
