@@ -55,8 +55,14 @@ Array = jax.Array
 import os as _os
 
 FWD_TILE = int(_os.environ.get("DPFX_FWD_TILE", "2048"))
-BWD_TILE = int(_os.environ.get("DPFX_BWD_TILE", "1024"))
+BWD_TILE = int(_os.environ.get("DPFX_BWD_TILE", "2048"))
 BWD_VMEM_MB = int(_os.environ.get("DPFX_BWD_VMEM_MB", "32"))
+# rolled layer loop (lax.fori_loop) vs python-unrolled: rolled reuses the
+# Mosaic stack slots across layers (smaller scoped VMEM -> larger tiles
+# become viable) at the cost of dynamic layer indexing into the weight refs.
+# Round-3 same-run full-step A/B (B=64 N=2048 flagship): tile=2048+rolled
+# 11.85 ms/step vs 12.30 for tile=1024 unrolled -> adopted defaults.
+BWD_ROLLED = bool(int(_os.environ.get("DPFX_BWD_ROLLED", "1")))
 
 
 def fused_train_supported(flow_cfg) -> bool:
@@ -219,7 +225,7 @@ def _bwd_kernel(
     wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref,
     dx_ref, dhz_ref, dwx_ref, dwh_ref, dbh_ref, dwout_ref, dbout_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
-    n_points: int,
+    n_points: int, rolled: bool = False,
 ):
     """One (cloud, point-tile) grid step of the fused backward — a single
     reverse walk with NO stored forward chain.
@@ -270,10 +276,8 @@ def _bwd_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (1, t), 1) + i * t
     valid = (col < n_points).astype(jnp.float32)
     g_ld = dld_ref[0, 0, 0]
-    dy = du_ref[0].astype(jnp.float32)
-    y = u_ref[0].astype(jnp.float32)                 # x_K = forward output
 
-    for k in reversed(range(n_layers)):
+    def layer_step(k, dy, y):
         mask = masks_ref[k]
         inv = 1.0 - mask
         # conditioner forward from the layer OUTPUT (masked rows identical
@@ -322,7 +326,17 @@ def _bwd_kernel(
             wx_ref[k].astype(dtype), dh.astype(dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                            # wx^T @ dh: [8, T]
-        y = x_k
+        return dy, x_k
+
+    dy = du_ref[0].astype(jnp.float32)
+    y = u_ref[0].astype(jnp.float32)                 # x_K = forward output
+    if rolled:
+        dy, _ = jax.lax.fori_loop(
+            0, n_layers,
+            lambda j, c: layer_step(n_layers - 1 - j, *c), (dy, y))
+    else:
+        for k in reversed(range(n_layers)):
+            dy, y = layer_step(k, dy, y)
 
     dx_ref[0] = dy
 
@@ -339,7 +353,7 @@ def _bwd_call(static, w, u, hz, du, dld):
     nh1 = max(nh, 1)
     kernel = functools.partial(
         _bwd_kernel, n_layers=k, n_hidden_m1=nh, t=tile, cap=cap, dtype=dtype,
-        n_points=n_points,
+        n_points=n_points, rolled=BWD_ROLLED,
     )
     full_w = lambda b_, i: (0, 0, 0)
     dld3 = jnp.broadcast_to(dld[:, None, None], (b, 1, 128)).astype(jnp.float32)

@@ -17,8 +17,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-B, N = 64, 2048
-REPS = 20
+import os
+
+B = int(os.environ.get("DPFX_PROF_B", "64"))
+N = int(os.environ.get("DPFX_PROF_N", "2048"))
+REPS = int(os.environ.get("DPFX_PROF_REPS", "20"))
 
 
 def chain_time(fn, *args):
@@ -114,6 +117,25 @@ def main():
             g = genc(params, x + c * 0)
             return c, gsum(g)
         results["encoder fwd+bwd"] = chain_time(encb, jnp.zeros(()))
+
+    if "pf_fused_fwd" in which or "pf_fused_fwdbwd" in which:
+        from dpfx.ops.fused_train import fused_point_flow_recon_ll
+
+        def pff_loss(p, xx):
+            return jnp.sum(fused_point_flow_recon_ll(
+                p, xx, z, cfg.model.point_flow))
+
+        if "pf_fused_fwd" in which:
+            def pff(c, i):
+                return c, pff_loss(params, x * (1.0 + c * 1e-12)) + c * 0
+            results["point_flow FUSED fwd"] = chain_time(pff, jnp.zeros(()))
+
+        if "pf_fused_fwdbwd" in which:
+            gpff = jax.grad(pff_loss)
+            def pffb(c, i):
+                g = gpff(params, x * (1.0 + c * 1e-12))
+                return c, gsum(g)
+            results["point_flow FUSED fwd+bwd"] = chain_time(pffb, jnp.zeros(()))
 
     if "lf_fwdbwd" in which:
         def lf_loss(p, zz):
