@@ -250,3 +250,26 @@ def test_fused_eval_step_sharded_matches_single():
     for k in m1:
         np.testing.assert_allclose(float(m8[k]), float(m1[k]), rtol=1e-5,
                                    err_msg=f"metric {k}")
+
+
+def test_bwd_rolled_matches_unrolled_bit_exact():
+    """BWD_ROLLED (fori_loop layer walk, the on-chip default) produces
+    bit-identical cotangents to the python-unrolled loop — same ops, same
+    order, only the Mosaic stack layout differs."""
+    import dpfx.ops.fused_train as F
+
+    cfg, model, params, x, z = make_model(n_layers=5, n_hidden=2, n=256)
+
+    def loss(p):
+        return jnp.sum(fused_point_flow_recon_ll(p, x, z, cfg.model.point_flow))
+
+    orig = F.BWD_ROLLED
+    try:
+        F.BWD_ROLLED = False
+        ga = jax.grad(loss)(params)
+        F.BWD_ROLLED = True
+        gb = jax.grad(loss)(params)
+    finally:
+        F.BWD_ROLLED = orig
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
