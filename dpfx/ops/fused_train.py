@@ -55,6 +55,7 @@ Array = jax.Array
 import os as _os
 
 FWD_TILE = int(_os.environ.get("DPFX_FWD_TILE", "2048"))
+FWD_ROLLED = bool(int(_os.environ.get("DPFX_FWD_ROLLED", "0")))
 BWD_TILE = int(_os.environ.get("DPFX_BWD_TILE", "2048"))
 BWD_VMEM_MB = int(_os.environ.get("DPFX_BWD_VMEM_MB", "32"))
 # rolled layer loop (lax.fori_loop) vs python-unrolled: rolled reuses the
@@ -131,12 +132,10 @@ def _fwd_kernel(
     hz_ref, x_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref,
     u_ref, ld_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
-    n_points: int,
+    n_points: int, rolled: bool = False,
 ):
-    x = x_ref[0].astype(jnp.float32)                 # [8, T]; rows 3-7 zero
-    ld_row = jnp.zeros((1, t), jnp.float32)
-
-    for k in range(n_layers):                        # unrolled: static layer addressing
+    def layer(k, carry):
+        x, ld_row = carry
         mask = masks_ref[k]                          # [8, 1]; padded rows 1
         inv = 1.0 - mask
         h = jax.lax.dot_general(
@@ -156,8 +155,17 @@ def _fwd_kernel(
         ) + bout_ref[k]                              # [8, T] f32
         s = cap * jnp.tanh(st / cap)
         tt = pltpu.roll(st, shift=5, axis=0)         # t rows 3-5 -> rows 0-2
-        ld_row += jnp.sum(inv * s, axis=0, keepdims=True)
+        ld_row = ld_row + jnp.sum(inv * s, axis=0, keepdims=True)
         x = jnp.where(mask > 0, x, x * jnp.exp(s) + tt)
+        return x, ld_row
+
+    x = x_ref[0].astype(jnp.float32)                 # [8, T]; rows 3-7 zero
+    ld_row = jnp.zeros((1, t), jnp.float32)
+    if rolled:
+        x, ld_row = jax.lax.fori_loop(0, n_layers, layer, (x, ld_row))
+    else:
+        for k in range(n_layers):                    # unrolled: static layer addressing
+            x, ld_row = layer(k, (x, ld_row))
 
     u_ref[0] = x
     i = pl.program_id(1)
@@ -175,7 +183,7 @@ def _fwd_call(static, w, xt, hz):
     masks = jnp.asarray(_masks8(k))
     kernel = functools.partial(
         _fwd_kernel, n_layers=k, n_hidden_m1=nh, t=tile, cap=cap, dtype=dtype,
-        n_points=n_points,
+        n_points=n_points, rolled=FWD_ROLLED,
     )
     full_w = lambda b_, i: (0, 0, 0)
     u, ld = pl.pallas_call(

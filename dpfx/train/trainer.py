@@ -15,6 +15,7 @@ import time
 from typing import Any, Callable, Dict, Iterator, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -81,7 +82,12 @@ def make_optimizer(tcfg) -> optax.GradientTransformation:
         parts.append(optax.adamw(sched, weight_decay=tcfg.weight_decay))
     else:
         parts.append(optax.adam(sched))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if getattr(tcfg, "flat_optimizer", False):
+        # one flattened leaf: collapses the 320-leaf clip+adam tiny-op soup
+        # (and clip's 320-reduction global_norm) into a handful of ops
+        tx = optax.flatten(tx)
+    return tx
 
 
 def init_state(model: DPF, cfg: Config, rng: Array, tx=None) -> TrainState:
@@ -139,7 +145,10 @@ def make_train_step(
                 metrics = jax.lax.pmean(metrics, pmean_axis)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
-            metrics["grad_norm"] = optax.global_norm(grads)
+            # one concat + one reduction instead of optax.global_norm's
+            # per-leaf reduction per tree leaf (320 on the flagship)
+            metrics["grad_norm"] = jnp.linalg.norm(
+                jax.flatten_util.ravel_pytree(grads)[0])
             new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
             return new_state, metrics
 

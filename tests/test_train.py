@@ -291,3 +291,30 @@ def test_lr_warmup_schedule():
 
     cfg2 = tiny_config(train={"lr": 1e-3, "lr_warmup_steps": 0})
     np.testing.assert_allclose(float(make_schedule(cfg2.train)(0)), 1e-3, rtol=1e-5)
+
+
+def test_flat_optimizer_matches_tree_optimizer():
+    """train.flat_optimizer (optax.flatten over clip+adam, the default)
+    produces the same updates as the per-leaf chain — identical math up to
+    f32 summation order in the global-norm clip."""
+    from dpfx.models import DPF
+    from dpfx.train import init_state, make_optimizer, make_train_step
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 64, 3))
+    states = {}
+    for flat in (False, True):
+        cfg = tiny_config(train={"flat_optimizer": flat})
+        model = DPF(cfg)
+        tx = make_optimizer(cfg.train)
+        state = init_state(model, cfg, rng, tx)
+        step = make_train_step(model, tx, cfg, mesh=None)
+        for i in range(3):
+            state, m = step(state, {"x": x}, jax.random.fold_in(rng, i))
+        states[flat] = (state, m)
+    for a, b in zip(jax.tree.leaves(states[False][0].params),
+                    jax.tree.leaves(states[True][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(states[False][1]["grad_norm"]),
+                               float(states[True][1]["grad_norm"]), rtol=1e-5)
