@@ -219,6 +219,12 @@ class TrainConfig:
     # per-layer HBM streaming; identical math (grad-parity tested), relu
     # conditioner + no actnorm only (falls back with a warning otherwise)
     fused_point_flow: bool = False
+    # route q(z|X) through the fused PointNet kernel pair
+    # (dpfx/ops/fused_encoder.py): per-point MLP + max-pool resident in
+    # VMEM with a recompute backward — removes the [B, N, 512] activation
+    # round-trip to HBM. Same flax param tree; relu + N <= ENC_MAX_POINTS
+    # only (falls back with a warning otherwise). Point modality only.
+    fused_encoder: bool = False
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

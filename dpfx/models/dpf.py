@@ -113,16 +113,24 @@ class DPF(nn.Module):
     # ---- ELBO ----------------------------------------------------------
 
     def elbo_terms(
-        self, x: Array, rng: Array, image: Optional[Array] = None
+        self, x: Array, rng: Array, image: Optional[Array] = None,
+        eps: Optional[Array] = None,
+        posterior: Optional[Tuple[Array, Array]] = None,
     ) -> dict:
         """Per-cloud ELBO pieces. x: [B, N, 3]; returns dict of [B] arrays.
 
         recon_ll sums log p(x_i|z) over the N points of each cloud
         (SURVEY.md §7; reduction convention is §9.4 VERIFY — controlled at
         the loss level via train.recon_reduction).
+
+        ``eps`` / ``posterior`` optionally supply the reparameterization
+        noise and a precomputed (mu, logvar) — used by the shard_map train
+        step (global-shape noise stream) and the fused-encoder path
+        (dpfx.ops.fused_encoder computes q(z|X) outside apply()).
         """
-        mu, logvar = self.posterior(x, image)
-        eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
+        mu, logvar = posterior if posterior is not None else self.posterior(x, image)
+        if eps is None:
+            eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
         z = mu + jnp.exp(0.5 * logvar) * eps  # reparameterized sample
 
         logq = gaussian_logprob(z, mu, logvar)            # [B]
@@ -134,6 +142,7 @@ class DPF(nn.Module):
     def elbo_latent_terms(
         self, x: Array, rng: Array, image: Optional[Array] = None,
         eps: Optional[Array] = None,
+        posterior: Optional[Tuple[Array, Array]] = None,
     ) -> dict:
         """Posterior + latent-prior ELBO pieces WITHOUT the point-flow
         reconstruction term — the fused-train path (dpfx.ops.fused_train)
@@ -142,8 +151,9 @@ class DPF(nn.Module):
         ``eps`` (optional) supplies the reparameterization noise: the
         shard_map train step draws it OUTSIDE the sharded region with the
         global batch shape, so per-device local shapes don't change the
-        random stream vs the single-device step."""
-        mu, logvar = self.posterior(x, image)
+        random stream vs the single-device step. ``posterior`` optionally
+        supplies a precomputed (mu, logvar) — the fused-encoder path."""
+        mu, logvar = posterior if posterior is not None else self.posterior(x, image)
         if eps is None:
             eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
         z = mu + jnp.exp(0.5 * logvar) * eps

@@ -38,6 +38,20 @@ def _warn_fused_unsupported(flow_cfg) -> None:
         )
 
 
+def _warn_enc_unsupported(enc_cfg, n: int) -> None:
+    key = ("enc", enc_cfg.activation, n)
+    if key not in _fused_warned:
+        _fused_warned.add(key)
+        import warnings
+
+        warnings.warn(
+            "dpfx.train: fused_encoder requested but the encoder config "
+            f"(activation={enc_cfg.activation!r}, n_points={n}) is outside "
+            "the fused kernel's support; using the flax path",
+            stacklevel=3,
+        )
+
+
 def elbo_loss(
     model,
     params,
@@ -48,15 +62,30 @@ def elbo_loss(
     recon_reduction: str = "sum_points",
     fused_point_flow: bool = False,
     eps: Optional[Array] = None,
+    fused_encoder: bool = False,
 ) -> Tuple[Array, dict]:
     """Returns (scalar loss, metrics dict). x: [B, N, 3].
 
     ``fused_point_flow=True`` routes the reconstruction term through the
     fused forward(+log-det) custom-VJP Pallas kernels
     (dpfx.ops.fused_train) — identical math, VMEM-resident layer chain
-    instead of XLA's per-layer HBM streaming. Falls back to the XLA path
-    (with a one-time warning) when the flow configuration is outside the
-    kernels' support (non-relu activation / actnorm)."""
+    instead of XLA's per-layer HBM streaming. ``fused_encoder=True`` does
+    the same for q(z|X) (dpfx.ops.fused_encoder; point modality only).
+    Either falls back to the XLA/flax path (with a one-time warning) when
+    its configuration is outside the kernel's support."""
+    posterior = None
+    if fused_encoder and image is None:
+        from dpfx.ops.fused_encoder import (
+            fused_encoder_supported,
+            fused_pointnet_posterior,
+        )
+
+        enc_cfg = model.config.model.encoder
+        if fused_encoder_supported(enc_cfg, x.shape[-2]):
+            posterior = fused_pointnet_posterior(
+                params, x, enc_cfg, model.config.model.dz)
+        else:
+            _warn_enc_unsupported(enc_cfg, x.shape[-2])
     if fused_point_flow:
         from dpfx.ops.fused_train import (
             fused_point_flow_recon_ll,
@@ -65,15 +94,17 @@ def elbo_loss(
 
         flow_cfg = model.config.model.point_flow
         if fused_train_supported(flow_cfg):
-            t = model.apply(params, x, rng, image, eps,
+            t = model.apply(params, x, rng, image, eps, posterior,
                             method=model.elbo_latent_terms)
             t = dict(t)
             t["recon_ll"] = fused_point_flow_recon_ll(params, x, t["z"], flow_cfg)
         else:
             _warn_fused_unsupported(flow_cfg)
-            t = model.apply(params, x, rng, image, method=model.elbo_terms)
+            t = model.apply(params, x, rng, image, eps, posterior,
+                            method=model.elbo_terms)
     else:
-        t = model.apply(params, x, rng, image, method=model.elbo_terms)
+        t = model.apply(params, x, rng, image, eps, posterior,
+                        method=model.elbo_terms)
     n = x.shape[-2]
     recon = t["recon_ll"]
     kl = t["logq"] - t["logp_z"]  # MC estimate of KL(q || p) per cloud

@@ -137,6 +137,7 @@ def make_train_step(
                     recon_reduction=tcfg.recon_reduction,
                     fused_point_flow=tcfg.fused_point_flow,
                     eps=batch.get("eps"),
+                    fused_encoder=tcfg.fused_encoder,
                 )
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -165,7 +166,7 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=0)
 
     axis = cfg.parallel.axis_name
-    if tcfg.fused_point_flow:
+    if tcfg.fused_point_flow or tcfg.fused_encoder:
         # Pallas custom calls don't partition under plain pjit — run the
         # whole step per-device under shard_map with an explicit grad pmean.
         # The reparameterization noise is drawn OUTSIDE the sharded region
@@ -214,7 +215,8 @@ def make_multi_step(
     (state, metrics) with each metric stacked [K]."""
     multi_device = mesh is not None and mesh.devices.size > 1
     axis = cfg.parallel.axis_name
-    fused_sharded = multi_device and cfg.train.fused_point_flow
+    fused_sharded = multi_device and (
+        cfg.train.fused_point_flow or cfg.train.fused_encoder)
     step_fn = make_train_step(
         model, tx, cfg, mesh=mesh, jit=False,
         pmean_axis=axis if fused_sharded else None,
@@ -275,6 +277,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
                 recon_reduction=cfg.train.recon_reduction,
                 fused_point_flow=cfg.train.fused_point_flow,
                 eps=batch.get("eps"),
+                fused_encoder=cfg.train.fused_encoder,
             )
             if pmean_axis is not None:
                 metrics = jax.lax.pmean(metrics, pmean_axis)
@@ -285,7 +288,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(make_eval_fn())
     axis = cfg.parallel.axis_name
-    if cfg.train.fused_point_flow:
+    if cfg.train.fused_point_flow or cfg.train.fused_encoder:
         # same shard_map treatment as the train step: pallas doesn't
         # partition under pjit, and the out-of-region eps draw keeps the
         # metric stream identical to single-device

@@ -114,8 +114,8 @@ def main():
             return jnp.sum(mu) + jnp.sum(lv)
         genc = jax.grad(enc_loss)
         def encb(c, i):
-            g = genc(params, x + c * 0)
-            return c, gsum(g)
+            g = genc(params, x + c * 1e-30)
+            return c + 1.0, gsum(g)
         results["encoder fwd+bwd"] = chain_time(encb, jnp.zeros(()))
 
     if "pf_fused_fwd" in which or "pf_fused_fwdbwd" in which:
@@ -136,6 +136,32 @@ def main():
                 g = gpff(params, x * (1.0 + c * 1e-12))
                 return c, gsum(g)
             results["point_flow FUSED fwd+bwd"] = chain_time(pffb, jnp.zeros(()))
+
+    if "enc_fused_fwdbwd" in which:
+        from dpfx.ops.fused_encoder import fused_pointnet_posterior
+
+        def fenc_loss(p, xx):
+            mu, lv = fused_pointnet_posterior(p, xx, cfg.model.encoder,
+                                              cfg.model.dz)
+            return jnp.sum(mu) + jnp.sum(lv)
+        gfenc = jax.grad(fenc_loss)
+        def fencb(c, i):
+            g = gfenc(params, x + c * 1e-30)
+            return c + 1.0, gsum(g)
+        results["encoder FUSED fwd+bwd"] = chain_time(fencb, jnp.zeros(()))
+
+    if "full_fe" in which:
+        # full flagship step with fused_encoder on top of fused_point_flow
+        import copy as _copy
+
+        cfg_fe = _copy.deepcopy(cfg)
+        cfg_fe.train.fused_encoder = True
+        step_fe = make_train_step(model, tx, cfg_fe, mesh=None, jit=False)
+        state_fe = jax.tree.map(jnp.copy, state)
+        def full_fe(st, i):
+            st, m = step_fe(st, {"x": x}, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+        results["full step + fused encoder"] = chain_time(full_fe, state_fe)
 
     if "lf_fwdbwd" in which:
         def lf_loss(p, zz):
