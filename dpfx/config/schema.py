@@ -175,6 +175,11 @@ class DataConfig:
     #                                 >0 = seeded random subsample (warned)
     norm_stats_seed: int = 0
     num_workers: int = 0
+    # upload the whole (normalized) train split to HBM once and batch ON
+    # DEVICE inside the jitted step — zero host->device data traffic in
+    # steady state (dpfx/data/device.py). Point-modality experiments with
+    # splits that fit HBM (ShapeNet airplane @ 15k pts ~ 0.5 GB).
+    device_resident: bool = False
     # synthetic dataset controls (tests / smoke configs)
     synthetic_size: int = 256
     synthetic_modes: int = 4

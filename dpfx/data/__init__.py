@@ -18,6 +18,7 @@ from dpfx.data.shapenet import (
     normalize_cloud,
 )
 from dpfx.data.synthetic import SyntheticDataset
+from dpfx.data.device import preload_clouds
 
 __all__ = [
     "iterate_batches",
@@ -38,4 +39,5 @@ __all__ = [
     "compute_global_stats_streaming",
     "normalize_cloud",
     "SyntheticDataset",
+    "preload_clouds",
 ]

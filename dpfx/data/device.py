@@ -1,0 +1,49 @@
+"""Device-resident dataset support (SURVEY.md §2 C4, TPU-native redesign).
+
+The reference streams every batch host -> device through its DataLoader
+(SURVEY.md §3.1 "DataLoader worker procs -> pinned host mem -> .cuda()").
+On TPU the whole training split usually fits HBM — ShapeNet airplane at
+PointFlow's 15k stored points is ~0.5 GB against 16 GB/chip — so the
+TPU-native design uploads the split ONCE and performs batching *inside*
+the jitted train step: cloud choice, point subsample, and the
+reparameterization noise are all derived on device from the step counter.
+Steady-state training then does zero host->device data transfer and wall
+throughput equals device throughput by construction (measured on this
+box: the host/tunnel path capped the 12M pts/s flagship step at ~2-4M
+wall; see BASELINE.md round 3).
+
+Enable with ``data.device_resident: true`` (point-modality experiments);
+``Trainer.fit_resident`` consumes the preloaded stack.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def preload_clouds(dataset, limit: Optional[int] = None) -> np.ndarray:
+    """Materialize a dataset as one [S, P, 3] float32 stack.
+
+    Items carry the dataset-level normalization (``__getitem__`` applies
+    it), and P is the STORED cloud size — the per-step subsample to
+    ``data.n_points`` happens on device (uniform without replacement,
+    matching ``dpfx.data.loader.sample_cloud``). Requires uniform stored
+    cloud sizes; raises otherwise.
+    """
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    if count == 0:
+        raise ValueError("cannot preload an empty dataset")
+    first = np.asarray(dataset[0], np.float32)
+    out = np.empty((count,) + first.shape, np.float32)
+    out[0] = first
+    for i in range(1, count):
+        x = np.asarray(dataset[i], np.float32)
+        if x.shape != first.shape:
+            raise ValueError(
+                f"device-resident preload needs uniform cloud shapes: item {i} "
+                f"is {x.shape}, item 0 is {first.shape}"
+            )
+        out[i] = x
+    return out

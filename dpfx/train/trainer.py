@@ -262,6 +262,125 @@ def make_multi_step(
     )
 
 
+def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
+                   p: int, n: int, dz: int):
+    """Per-step batch indices + reparameterization noise for the
+    device-resident data path, for the K steps starting at ``start_step``.
+
+    Returns (ci [K, B] cloud ids, pi [K, B, N] point ids or None when the
+    stored size equals n_points, eps [K, B, dz]). All draws fold the
+    ABSOLUTE step into the key, so streams are resume-stable; ``eps`` uses
+    the exact recipe of the in-step draw (fold_in(rng, step) -> normal),
+    so a resident step is bit-identical to the host-fed step on the same
+    batch. Cloud choice is i.i.d. uniform per step (the host loader walks
+    epoch permutations instead — VERIFY-vs-reference; immaterial for the
+    i.i.d. ELBO objective at these split sizes). The point subsample is
+    uniform WITHOUT replacement — top-N of per-point uniform keys —
+    matching ``dpfx.data.loader.sample_cloud``."""
+    drng = jax.random.fold_in(rng, 0x0DA7A)  # independent of the step rng
+    steps_v = start_step + jnp.arange(k)
+
+    def one(sv):
+        key = jax.random.fold_in(drng, sv)
+        kc, kp = jax.random.split(key)
+        ci = jax.random.randint(kc, (b,), 0, s)
+        if p != n:
+            keys = jax.random.uniform(kp, (b, p))
+            _, pi = jax.lax.top_k(keys, n)
+        else:
+            pi = jnp.zeros((b, 0), jnp.int32)  # unused; keeps pytrees static
+        eps = jax.random.normal(jax.random.fold_in(rng, sv), (b, dz))
+        return ci, pi, eps
+
+    return jax.vmap(one)(steps_v)
+
+
+def make_resident_multi_step(
+    model: DPF,
+    tx: optax.GradientTransformation,
+    cfg: Config,
+    mesh: Optional[Mesh] = None,
+    steps_per_call: int = 8,
+) -> Callable:
+    """K train steps per dispatch with batches GATHERED ON DEVICE from an
+    HBM-resident dataset stack [S, P, 3] (``data.device_resident``).
+
+    The TPU-native answer to the reference's host DataLoader for splits
+    that fit HBM: the returned fn(state, data, rng) does zero host->device
+    data transfer per call, so wall throughput == device throughput even
+    over slow host links (see dpfx/data/device.py). Index and noise draws
+    happen at GLOBAL shape outside the sharded region — updates are
+    bit-identical across mesh sizes, the same policy as make_multi_step."""
+    tcfg = cfg.train
+    k = steps_per_call
+    b = tcfg.batch_size
+    n = cfg.data.n_points
+    dz = cfg.model.dz
+    multi_device = mesh is not None and mesh.devices.size > 1
+    axis = cfg.parallel.axis_name
+    fused_sharded = multi_device and (tcfg.fused_point_flow or tcfg.fused_encoder)
+    step_fn = make_train_step(
+        model, tx, cfg, mesh=mesh, jit=False,
+        pmean_axis=axis if fused_sharded else None,
+    )
+    shard_x = (
+        NamedSharding(mesh, P(axis)) if (multi_device and not fused_sharded) else None
+    )
+
+    def multi(state: TrainState, data: Array, ci: Array, pi: Array,
+              eps: Array, rng: Array):
+        subsample = data.shape[1] != n
+
+        def body(st, xs):
+            ci_t, pi_t, eps_t = xs
+            x = jnp.take(data, ci_t, axis=0)            # [B(local), P, 3]
+            if subsample:
+                x = jnp.take_along_axis(x, pi_t[..., None], axis=1)
+            if shard_x is not None:
+                x = jax.lax.with_sharding_constraint(x, shard_x)
+            st, m = step_fn(st, {"x": x, "eps": eps_t}, rng)
+            return st, m
+
+        return jax.lax.scan(body, state, (ci, pi, eps))
+
+    if not multi_device:
+        def entry_single(state: TrainState, data: Array, rng: Array):
+            s, p = data.shape[0], data.shape[1]
+            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+            return multi(state, data, ci, pi, eps, rng)
+
+        return jax.jit(entry_single, donate_argnums=0)
+
+    if fused_sharded:
+        sharded = _shard_map(
+            multi, mesh=mesh,
+            in_specs=(P(), P(), P(None, axis), P(None, axis, None),
+                      P(None, axis, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def entry_fused(state: TrainState, data: Array, rng: Array):
+            s, p = data.shape[0], data.shape[1]
+            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+            return sharded(state, data, ci, pi, eps, rng)
+
+        return jax.jit(entry_fused, donate_argnums=0)
+
+    def entry_pjit(state: TrainState, data: Array, rng: Array):
+        s, p = data.shape[0], data.shape[1]
+        ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+        return multi(state, data, ci, pi, eps, rng)
+
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        entry_pjit,
+        donate_argnums=0,
+        in_shardings=(repl, repl, repl),
+        out_shardings=(repl, repl),
+    )
+
+
 def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Callable:
     """Validation negative-ELBO (deterministic rng per batch)."""
 
@@ -403,6 +522,73 @@ def _device_prefetch(batches: Iterator, depth: int = 2) -> Iterator:
         yield out
 
 
+class _Cadence:
+    """Shared logging / eval / checkpoint cadence for ``Trainer.fit`` and
+    ``Trainer.fit_resident``: interval-CROSSING tests (a multi-step call can
+    jump over an exact multiple), ONE host transfer per log window, and a
+    guaranteed final checkpoint even when training stops off-cadence."""
+
+    def __init__(self, trainer: "Trainer", steps: int, val_batches_fn,
+                 start_step: int):
+        self.tr = trainer
+        self.steps = steps
+        self.val_fn = val_batches_fn
+        self.step = start_step
+        self.window: list = []
+        self.window_steps = 0
+        self.t0 = time.perf_counter()
+        self.last_ckpt_step = start_step
+
+    def record(self, took: int, metrics, points_per_step: int) -> None:
+        """Account for a dispatched call that advanced ``took`` steps.
+        ``metrics`` may be scalars (single step) or [K]-stacked arrays
+        (multi-step call); windows flatten both so the mean covers every
+        step exactly once."""
+        tr, tcfg = self.tr, self.tr.cfg.train
+        self.step += took
+        self.window.append(metrics)
+        self.window_steps += took
+        step, steps = self.step, self.steps
+        crossed = lambda every: step // every > (step - took) // every
+        if crossed(tcfg.log_every) or step == steps:
+            # ONE host transfer of the full window (scalars are tiny;
+            # per-scalar float() would cost a device round trip each)
+            host_window = jax.device_get(self.window)
+            m = {
+                k: float(np.mean(np.concatenate(
+                    [np.atleast_1d(w[k]) for w in host_window])))
+                for k in host_window[0]
+            }
+            dt = time.perf_counter() - self.t0
+            # window_steps = actual steps in this window (the final or
+            # first-after-resume window can be shorter than log_every)
+            pts = self.window_steps * points_per_step
+            tr.log_fn(
+                f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
+                f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
+                f"gnorm={m['grad_norm']:.2f} ({pts / dt:,.0f} pts/s)"
+            )
+            tr.history.append({"step": step, **m})
+            tr._write_metrics({"kind": "train", "step": step, **m,
+                               "points_per_sec": pts / dt})
+            self.window = []
+            self.window_steps = 0
+            self.t0 = time.perf_counter()
+        if self.val_fn is not None and crossed(tcfg.eval_every):
+            tr.evaluate(self.val_fn())
+        if crossed(tcfg.ckpt_every) or step == steps:
+            tr.ckpt.save(step, tr.state)
+            self.last_ckpt_step = step
+
+    def finish(self) -> None:
+        if self.step != self.last_ckpt_step:
+            # stopped off-cadence: never exit without a checkpoint covering
+            # the last trained step
+            self.tr.ckpt.save(self.step, self.tr.state)
+        self.tr.ckpt.wait()
+        self.tr.writer.flush()
+
+
 class Trainer:
     """Step-based training loop with periodic eval / checkpoint / logging
     (SURVEY.md §3.1 call stack, re-shaped: one jitted sharded step)."""
@@ -450,62 +636,20 @@ class Trainer:
     ) -> TrainState:
         tcfg = self.cfg.train
         steps = steps or tcfg.steps
-        # host-side step counter: fetching state.step each iteration is a
-        # blocking device round trip (~20 ms via the tunnel) that also
-        # serializes the pipeline
-        step = int(self.state.step)
-        t0 = time.perf_counter()
-        window = []
-        window_steps = 0
-        last_ckpt_step = step
+        # host-side step counter (via _Cadence): fetching state.step each
+        # iteration is a blocking device round trip (~20 ms via the tunnel)
+        # that also serializes the pipeline
+        cad = _Cadence(self, steps, val_batches_fn, int(self.state.step))
         spc = self.steps_per_call
 
-        def bookkeep(took: int, batch) -> None:
-            """Shared post-step logging / eval / checkpoint cadence — used by
-            both the main loop and the partial-group drain so drained steps
-            are never silently dropped from metrics or checkpoints."""
-            nonlocal window, window_steps, t0, last_ckpt_step
-            # interval-crossing tests (not `% == 0`): a multi-step call can
-            # jump over the exact multiple
-            crossed = lambda every: step // every > (step - took) // every
-            if crossed(tcfg.log_every) or step == steps:
-                # ONE host transfer of the full window (scalars are tiny;
-                # per-scalar float() would cost a device round trip each).
-                # Entries may mix [K]-stacked metrics (multi-step calls)
-                # with scalars (single steps) — flatten each to 1-D before
-                # concatenating so the mean covers every step exactly once.
-                host_window = jax.device_get(window)
-                m = {
-                    k: float(np.mean(np.concatenate(
-                        [np.atleast_1d(w[k]) for w in host_window])))
-                    for k in host_window[0]
-                }
-                dt = time.perf_counter() - t0
-                # window_steps = actual steps in this window (the final or
-                # first-after-resume window can be shorter than log_every)
-                pts = window_steps * batch["x"].shape[0] * batch["x"].shape[1]
-                self.log_fn(
-                    f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
-                    f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
-                    f"gnorm={m['grad_norm']:.2f} ({pts / dt:,.0f} pts/s)"
-                )
-                self.history.append({"step": step, **m})
-                self._write_metrics({"kind": "train", "step": step, **m,
-                                     "points_per_sec": pts / dt})
-                window = []
-                window_steps = 0
-                t0 = time.perf_counter()
-            if val_batches_fn is not None and crossed(tcfg.eval_every):
-                self.evaluate(val_batches_fn())
-            if crossed(tcfg.ckpt_every) or step == steps:
-                self.ckpt.save(step, self.state)
-                last_ckpt_step = step
+        def pts_per_step(batch) -> int:
+            return batch["x"].shape[0] * batch["x"].shape[1]
 
         pending: list = []  # host batches awaiting a stacked multi-step call
         for batch in _device_prefetch(batches):
-            if step >= steps:
+            if cad.step >= steps:
                 break
-            if spc > 1 and step + spc <= steps:
+            if spc > 1 and cad.step + spc <= steps:
                 # device-side loop: stack K batches, ONE dispatch
                 pending.append(batch)
                 if len(pending) < spc:
@@ -515,32 +659,54 @@ class Trainer:
                 )
                 pending = []
                 self.state, metrics = self.multi_step(self.state, stacked, self.rng)
-                window.append(metrics)  # each metric stacked [K]
-                window_steps += spc
-                step += spc
-                bookkeep(spc, batch)
+                cad.record(spc, metrics, pts_per_step(batch))
             else:
                 self.state, metrics = self.train_step(self.state, batch, self.rng)
-                window.append(metrics)
-                window_steps += 1
-                step += 1
-                bookkeep(1, batch)
+                cad.record(1, metrics, pts_per_step(batch))
         # drain a partial multi-step group (iterator ran dry mid-collection)
         # through the SAME bookkeeping as the main loop
         for batch in pending:
-            if step >= steps:
+            if cad.step >= steps:
                 break
             self.state, metrics = self.train_step(self.state, batch, self.rng)
-            window.append(metrics)
-            window_steps += 1
-            step += 1
-            bookkeep(1, batch)
-        if step != last_ckpt_step:
-            # iterator ran dry off-cadence: never exit without a checkpoint
-            # covering the last trained step
-            self.ckpt.save(step, self.state)
-        self.ckpt.wait()
-        self.writer.flush()
+            cad.record(1, metrics, pts_per_step(batch))
+        cad.finish()
+        return self.state
+
+    def fit_resident(
+        self,
+        clouds: np.ndarray,
+        val_batches_fn: Optional[Callable[[], Iterator]] = None,
+        steps: Optional[int] = None,
+    ) -> TrainState:
+        """Train with the split HBM-resident (``data.device_resident``):
+        ``clouds`` is the preloaded, dataset-normalized [S, P, 3] stack
+        (``dpfx.data.device.preload_clouds``). Batching happens on device
+        inside the dispatched call — zero host->device data traffic in
+        steady state (see dpfx/data/device.py). Point modality only."""
+        tcfg = self.cfg.train
+        steps = steps or tcfg.steps
+        b, n = tcfg.batch_size, self.cfg.data.n_points
+        data = jnp.asarray(clouds, jnp.float32)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            data = jax.device_put(data, NamedSharding(self.mesh, P()))
+        cad = _Cadence(self, steps, val_batches_fn, int(self.state.step))
+        spc = self.steps_per_call
+        multi = make_resident_multi_step(self.model, self.tx, self.cfg,
+                                         self.mesh, spc)
+        tail_fn = None  # one extra jit instance for the final partial group
+        while cad.step < steps:
+            remaining = steps - cad.step
+            if remaining >= spc:
+                self.state, metrics = multi(self.state, data, self.rng)
+                cad.record(spc, metrics, b * n)
+            else:
+                if tail_fn is None:
+                    tail_fn = make_resident_multi_step(
+                        self.model, self.tx, self.cfg, self.mesh, remaining)
+                self.state, metrics = tail_fn(self.state, data, self.rng)
+                cad.record(remaining, metrics, b * n)
+        cad.finish()
         return self.state
 
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:

@@ -1,0 +1,198 @@
+"""Device-resident data path tests (dpfx/data/device.py +
+Trainer.fit_resident / make_resident_multi_step): the TPU-native
+replacement for host-streamed batching (SURVEY.md §2 C4 redesign)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dpfx.config import config_from_dict
+from dpfx.data import SyntheticDataset, preload_clouds
+from dpfx.data.device import preload_clouds as preload_direct
+from dpfx.models import DPF
+from dpfx.parallel import create_mesh
+from dpfx.train import (
+    Trainer,
+    init_state,
+    make_optimizer,
+    make_resident_multi_step,
+    make_train_step,
+)
+from dpfx.train.trainer import _resident_draw
+
+
+def tiny_config(**over):
+    d = {
+        "experiment": "gen",
+        "name": "resident_test",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+        "data": {"dataset": "synthetic", "n_points": 64, "synthetic_size": 48,
+                 "device_resident": True},
+        "train": {
+            "batch_size": 16,
+            "steps": 12,
+            "steps_per_call": 3,
+            "lr": 1e-3,
+            "log_every": 6,
+            "ckpt_every": 1000,
+            "eval_every": 1000,
+        },
+    }
+    for k, v in over.items():
+        d[k].update(v) if isinstance(v, dict) and k in d else d.update({k: v})
+    return config_from_dict(d)
+
+
+def _data(s=48, p=64, seed=0):
+    return np.asarray(
+        jax.random.normal(jax.random.PRNGKey(seed), (s, p, 3)), np.float32
+    )
+
+
+def test_resident_matches_host_fed_steps():
+    """One resident K-step call == K host-fed make_train_step calls on the
+    batches the resident draw selects (same rng base): the on-device gather
+    and the out-of-region eps recipe must be bit-equivalent to the in-step
+    draw."""
+    cfg = tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(3)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data()
+    k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
+
+    ci, pi, eps = _resident_draw(
+        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
+    assert pi.shape == (k, b, 0)  # P == N: no subsample indices
+    step = make_train_step(model, tx, cfg, None)
+    for t in range(k):
+        x = jnp.asarray(data)[ci[t]]
+        # NO eps fed: the in-step draw must reproduce the resident stream
+        s0, m0 = step(s0, {"x": x}, rng)
+
+    multi = make_resident_multi_step(model, tx, cfg, None, k)
+    s1, m1 = multi(s1, jnp.asarray(data), rng)
+    assert m1["loss"].shape == (k,)
+    np.testing.assert_allclose(float(m1["loss"][-1]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_resident_subsample_without_replacement():
+    """P > N: the device-side point subsample is uniform WITHOUT
+    replacement (top-N of per-point keys), matching
+    dpfx.data.loader.sample_cloud's semantics."""
+    cfg = tiny_config(data={"n_points": 32})
+    rng = jax.random.PRNGKey(0)
+    k, b, p, n = 4, 8, 100, 32
+    ci, pi, eps = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, 24, p,
+                                 n, cfg.model.dz)
+    pi = np.asarray(pi)
+    assert pi.shape == (k, b, n)
+    assert pi.min() >= 0 and pi.max() < p
+    for t in range(k):
+        for row in pi[t]:
+            assert len(set(row.tolist())) == n, "duplicate point index"
+    ci = np.asarray(ci)
+    assert ci.min() >= 0 and ci.max() < 24
+    # draws differ per step and are resume-stable (absolute-step keyed)
+    ci2, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, 24, p,
+                               n, cfg.model.dz)
+    np.testing.assert_array_equal(np.asarray(ci2)[0], ci[2])
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_resident_sharded_matches_single(fused):
+    """Resident multi-step on the 8-device mesh == single device, for both
+    the pjit path and the fused shard_map path, including the on-device
+    subsample (P != N)."""
+    cfg = tiny_config(
+        data={"n_points": 32},
+        train={"fused_point_flow": fused, "fused_encoder": fused},
+    )
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(1)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = jnp.asarray(_data(s=40, p=100))
+
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    multi_mesh = make_resident_multi_step(model, tx, cfg, mesh, 2)
+    s0, m0 = multi_single(s0, data, rng)
+    s1, m1 = multi_mesh(s1, data, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_fit_resident_cadence_and_tail(tmp_path):
+    """fit_resident: steps not a multiple of steps_per_call (12 % 5 -> tail
+    of 2), logging windows, final checkpoint, and learning on the
+    synthetic mixture."""
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 12,
+                             "steps_per_call": 5, "log_every": 5,
+                             "ckpt_every": 10})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=48, n_stored=128, split="train")
+    clouds = preload_clouds(ds)
+    assert clouds.shape == (48, 128, 3)
+    trainer.fit_resident(clouds)
+    assert int(trainer.state.step) == 12
+    assert trainer.history, "no logged history"
+    assert trainer.ckpt.latest_step() == 12
+    # resume continues from 12 with the same resident path
+    cfg2 = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 15,
+                              "steps_per_call": 5, "log_every": 5,
+                              "ckpt_every": 10})
+    t2 = Trainer(cfg2)
+    assert t2.maybe_resume() == 12
+    t2.fit_resident(clouds)
+    assert int(t2.state.step) == 15
+
+
+def test_fit_resident_learns():
+    cfg = tiny_config(train={"steps": 40, "steps_per_call": 8,
+                             "log_every": 8, "ckpt_dir": "/tmp/dpfx_res_t"})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    trainer.fit_resident(preload_clouds(ds))
+    first, last = trainer.history[0], trainer.history[-1]
+    assert last["loss"] < first["loss"], f"no learning: {first} -> {last}"
+
+
+def test_preload_clouds_validates():
+    class Ragged:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return np.zeros((10 + i, 3), np.float32)
+
+    with pytest.raises(ValueError, match="uniform cloud shapes"):
+        preload_direct(Ragged())
+
+    class Empty:
+        def __len__(self):
+            return 0
+
+        def __getitem__(self, i):  # pragma: no cover
+            raise IndexError
+
+    with pytest.raises(ValueError, match="empty"):
+        preload_direct(Empty())

@@ -48,6 +48,27 @@ def main(argv=None) -> int:
           f"N={cfg.data.n_points} batch={cfg.train.batch_size}"
           + (f" images={image_size}px" if svr else ""))
 
+    def val_batches():
+        return iterate_batches(
+            val_ds, cfg.eval.batch_size, cfg.data.n_points_eval,
+            seed=0, shuffle=False, epochs=1, drop_last=False, with_images=svr,
+        )
+
+    if cfg.data.device_resident and not svr:
+        # TPU-native data path: the whole split lives in HBM; batching
+        # happens on device inside the dispatched call (dpfx/data/device.py)
+        from dpfx.data.device import preload_clouds
+
+        clouds = preload_clouds(train_ds)
+        print(f"[dpfx] device-resident split: {clouds.shape[0]} clouds x "
+              f"{clouds.shape[1]} stored pts "
+              f"({clouds.nbytes / 1e6:.0f} MB -> HBM)")
+        trainer.fit_resident(clouds, val_batches_fn=val_batches)
+        trainer.evaluate(val_batches())
+        print(f"[dpfx] done at step {int(trainer.state.step)}; "
+              f"checkpoints in {trainer.ckpt.directory}")
+        return 0
+
     if cfg.data.packed_path and not svr:
         # native C++ threaded loader over a packed cloud stack
         from dpfx.native import NativeBatcher, native_available
@@ -77,12 +98,6 @@ def main(argv=None) -> int:
             from dpfx.data import prefetch_batches
 
             batches = prefetch_batches(batches, depth=cfg.data.num_workers)
-
-    def val_batches():
-        return iterate_batches(
-            val_ds, cfg.eval.batch_size, cfg.data.n_points_eval,
-            seed=0, shuffle=False, epochs=1, drop_last=False, with_images=svr,
-        )
 
     trainer.fit(batches, val_batches_fn=val_batches)
     trainer.evaluate(val_batches())
