@@ -539,6 +539,8 @@ class _Cadence:
         self.t0 = time.perf_counter()
         self.last_ckpt_step = start_step
 
+    last_eval_step: int = -1  # lets callers skip a redundant post-fit eval
+
     def record(self, took: int, metrics, points_per_step: int) -> None:
         """Account for a dispatched call that advanced ``took`` steps.
         ``metrics`` may be scalars (single step) or [K]-stacked arrays
@@ -576,6 +578,7 @@ class _Cadence:
             self.t0 = time.perf_counter()
         if self.val_fn is not None and crossed(tcfg.eval_every):
             tr.evaluate(self.val_fn())
+            self.last_eval_step = step
         if crossed(tcfg.ckpt_every) or step == steps:
             tr.ckpt.save(step, tr.state)
             self.last_ckpt_step = step
@@ -610,6 +613,7 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
         self.history: list = []
+        self.last_eval_step: int = -1  # step of the most recent in-fit eval
         from dpfx.utils.writers import ScalarWriter
 
         self.writer = ScalarWriter(self.ckpt.directory, tensorboard=cfg.train.tensorboard)
@@ -671,6 +675,7 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, batch, self.rng)
             cad.record(1, metrics, pts_per_step(batch))
         cad.finish()
+        self.last_eval_step = cad.last_eval_step
         return self.state
 
     def fit_resident(
@@ -707,6 +712,7 @@ class Trainer:
                 self.state, metrics = tail_fn(self.state, data, self.rng)
                 cad.record(remaining, metrics, b * n)
         cad.finish()
+        self.last_eval_step = cad.last_eval_step
         return self.state
 
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:

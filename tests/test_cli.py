@@ -14,7 +14,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG = os.path.join(REPO, "configs", "smoke_ae_synthetic.yaml")
 
 
-def run_cli(script, *args, timeout=420):
+def run_cli(script, *args, timeout=900):
+    # generous: a cold CLI subprocess (imports + CPU compile) measures
+    # ~400 s on this box when the machine is otherwise busy; 420 flaked
     env = os.environ.copy()
     env["JAX_PLATFORMS"] = "cpu"
     # single CPU device: the CLI smoke exercises the plain-jit path; the

@@ -64,7 +64,8 @@ def main(argv=None) -> int:
               f"{clouds.shape[1]} stored pts "
               f"({clouds.nbytes / 1e6:.0f} MB -> HBM)")
         trainer.fit_resident(clouds, val_batches_fn=val_batches)
-        trainer.evaluate(val_batches())
+        if trainer.last_eval_step != int(trainer.state.step):
+            trainer.evaluate(val_batches())
         print(f"[dpfx] done at step {int(trainer.state.step)}; "
               f"checkpoints in {trainer.ckpt.directory}")
         return 0
@@ -100,7 +101,10 @@ def main(argv=None) -> int:
             batches = prefetch_batches(batches, depth=cfg.data.num_workers)
 
     trainer.fit(batches, val_batches_fn=val_batches)
-    trainer.evaluate(val_batches())
+    if trainer.last_eval_step != int(trainer.state.step):
+        # skip a redundant re-eval when the cadence already evaluated at
+        # the final step
+        trainer.evaluate(val_batches())
     print(f"[dpfx] done at step {int(trainer.state.step)}; "
           f"checkpoints in {trainer.ckpt.directory}")
     return 0
