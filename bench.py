@@ -127,11 +127,22 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def _cache_key() -> dict:
-    """The cached baseline is only valid for the same chip kind and bench
-    shapes — another host (±20% cross-chip variance) or edited constants
-    must re-measure."""
+    """The cached baseline is only valid for the same HOST+chip and bench
+    shapes — another machine (±20% cross-chip variance) or edited constants
+    must re-measure. ``host`` keys out other boxes with the same
+    device_kind (machine-id is per-VM unique; hostname on these boxes is a
+    generic "vm"). If the chip behind the same VM's tunnel is ever swapped,
+    the recorded date + DPFX_BENCH_REBASELINE=1 are the escape hatch."""
+    import socket
+
+    try:
+        with open("/etc/machine-id") as f:
+            host = f.read().strip()
+    except OSError:
+        host = socket.gethostname()
     return {
         "protocol": "chain-v2",
+        "host": host,
         "device_kind": jax.devices()[0].device_kind,
         "shapes": [B, N, TRAIN_B, TRAIN_N, SAMPLE_REPS, TRAIN_REPS],
     }
@@ -158,7 +169,7 @@ def main() -> None:
 
     cached = _load_baseline_cache()
     if cached is not None:
-        baseline_kind = f"cached-v2 ({cached['date']})"
+        baseline_kind = f"cached-v2 ({cached.get('date', 'undated')})"
         sample_base = cached["sample_baseline_value"]
         train_base = cached["train_baseline_value"]
     else:

@@ -23,33 +23,31 @@ Array = jax.Array
 _fused_warned: set = set()
 
 
-def _warn_fused_unsupported(flow_cfg) -> None:
-    key = (flow_cfg.activation, flow_cfg.use_actnorm)
+def _warn_once(key, message: str) -> None:
     if key not in _fused_warned:
         _fused_warned.add(key)
         import warnings
 
-        warnings.warn(
-            "dpfx.train: fused_point_flow requested but the flow config "
-            f"(activation={flow_cfg.activation!r}, actnorm="
-            f"{flow_cfg.use_actnorm}) is outside the fused kernels' "
-            "support; using the XLA path",
-            stacklevel=3,
-        )
+        warnings.warn(message, stacklevel=4)
+
+
+def _warn_fused_unsupported(flow_cfg) -> None:
+    _warn_once(
+        (flow_cfg.activation, flow_cfg.use_actnorm),
+        "dpfx.train: fused_point_flow requested but the flow config "
+        f"(activation={flow_cfg.activation!r}, actnorm="
+        f"{flow_cfg.use_actnorm}) is outside the fused kernels' "
+        "support; using the XLA path",
+    )
 
 
 def _warn_enc_unsupported(enc_cfg, n: int) -> None:
-    key = ("enc", enc_cfg.activation, n)
-    if key not in _fused_warned:
-        _fused_warned.add(key)
-        import warnings
-
-        warnings.warn(
-            "dpfx.train: fused_encoder requested but the encoder config "
-            f"(activation={enc_cfg.activation!r}, n_points={n}) is outside "
-            "the fused kernel's support; using the flax path",
-            stacklevel=3,
-        )
+    _warn_once(
+        ("enc", enc_cfg.activation, n),
+        "dpfx.train: fused_encoder requested but the encoder config "
+        f"(activation={enc_cfg.activation!r}, n_points={n}) is outside "
+        "the fused kernel's support; using the flax path",
+    )
 
 
 def elbo_loss(

@@ -276,7 +276,9 @@ def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
     epoch permutations instead — VERIFY-vs-reference; immaterial for the
     i.i.d. ELBO objective at these split sizes). The point subsample is
     uniform WITHOUT replacement — top-N of per-point uniform keys —
-    matching ``dpfx.data.loader.sample_cloud``."""
+    matching ``dpfx.data.loader.sample_cloud``, including its
+    with-replacement fallback when the stored cloud is smaller than
+    n_points."""
     drng = jax.random.fold_in(rng, 0x0DA7A)  # independent of the step rng
     steps_v = start_step + jnp.arange(k)
 
@@ -284,7 +286,11 @@ def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
         key = jax.random.fold_in(drng, sv)
         kc, kp = jax.random.split(key)
         ci = jax.random.randint(kc, (b,), 0, s)
-        if p != n:
+        if p < n:
+            # stored clouds smaller than n_points: uniform WITH replacement,
+            # matching sample_cloud's replace=True fallback (m < n_points)
+            pi = jax.random.randint(kp, (b, n), 0, p)
+        elif p != n:
             keys = jax.random.uniform(kp, (b, p))
             _, pi = jax.lax.top_k(keys, n)
         else:
@@ -627,7 +633,44 @@ class Trainer:
     def maybe_resume(self) -> int:
         step = self.ckpt.latest_step()
         if step is not None:
-            self.state = self.ckpt.restore(self.state)
+            try:
+                self.state = self.ckpt.restore(self.state)
+            except Exception:
+                # ``train.flat_optimizer`` changes the opt_state pytree
+                # layout, so checkpoints written under the other setting
+                # fail the structural restore. Retry with the toggled
+                # layout and, if that matches, adopt it for the rest of
+                # the run (the two are mathematically identical; only the
+                # tree shape differs). A genuinely incompatible checkpoint
+                # still raises — from the retry, with the original error
+                # chained.
+                import dataclasses
+
+                flipped = not self.cfg.train.flat_optimizer
+                self.cfg.train = dataclasses.replace(
+                    self.cfg.train, flat_optimizer=flipped
+                )
+                self.tx = make_optimizer(self.cfg.train)
+                alt = TrainState(
+                    step=self.state.step,
+                    params=self.state.params,
+                    opt_state=self.tx.init(self.state.params),
+                )
+                self.state = self.ckpt.restore(alt)
+                self.train_step = make_train_step(
+                    self.model, self.tx, self.cfg, self.mesh
+                )
+                if self.steps_per_call > 1:
+                    self.multi_step = make_multi_step(
+                        self.model, self.tx, self.cfg, self.mesh,
+                        self.steps_per_call,
+                    )
+                self.log_fn(
+                    "[dpfx] checkpoint uses the "
+                    f"{'flattened' if flipped else 'per-leaf'} optimizer "
+                    f"layout; adopting train.flat_optimizer={flipped} for "
+                    "this run"
+                )
             self.log_fn(f"[dpfx] resumed from step {step}")
             return step
         return 0

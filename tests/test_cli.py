@@ -22,6 +22,10 @@ def run_cli(script, *args, timeout=900):
     # single CPU device: the CLI smoke exercises the plain-jit path; the
     # 8-device sharded path is covered in-process by tests/test_train.py
     env["XLA_FLAGS"] = ""
+    # this box's sitecustomize dials a TPU session in EVERY python process
+    # when this var is set — pointless for a CPU subprocess and a measured
+    # hang source (one 900s CLI-test timeout died inside that dial)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout,

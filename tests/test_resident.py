@@ -196,3 +196,20 @@ def test_preload_clouds_validates():
 
     with pytest.raises(ValueError, match="empty"):
         preload_direct(Empty())
+
+
+def test_resident_stored_smaller_than_n_points():
+    """Stored clouds smaller than data.n_points: the resident draw falls
+    back to with-replacement indices (== loader.sample_cloud's m < n_points
+    fallback) instead of crashing in top_k."""
+    ci, pi, eps = _resident_draw(
+        jax.random.PRNGKey(0), jnp.int32(5), 3, 8, s=48, p=32, n=64, dz=16
+    )
+    assert pi.shape == (3, 8, 64)
+    assert int(pi.min()) >= 0 and int(pi.max()) < 32
+
+    cfg = tiny_config(train={"steps": 6, "steps_per_call": 3,
+                             "ckpt_dir": "/tmp/dpfx_res_small"})
+    trainer = Trainer(cfg)
+    trainer.fit_resident(_data(s=48, p=32))  # P=32 < n_points=64
+    assert np.isfinite(trainer.history[-1]["loss"])

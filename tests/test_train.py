@@ -318,3 +318,24 @@ def test_flat_optimizer_matches_tree_optimizer():
                                    rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(float(states[False][1]["grad_norm"]),
                                float(states[True][1]["grad_norm"]), rtol=1e-5)
+
+
+def test_resume_across_optimizer_layouts(tmp_path):
+    """A checkpoint written under one train.flat_optimizer layout restores
+    under the other: maybe_resume retries with the toggled layout and
+    adopts it (the flat_optimizer default flip must not strand old runs)."""
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 10,
+                             "ckpt_every": 10, "flat_optimizer": False})
+    trainer = Trainer(cfg)
+    ds = SyntheticDataset(size=64, n_stored=128, split="train")
+    batches = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=0)
+    trainer.fit(batches)
+
+    cfg2 = tiny_config(train={"ckpt_dir": str(tmp_path), "steps": 14,
+                              "flat_optimizer": True})
+    trainer2 = Trainer(cfg2)
+    assert trainer2.maybe_resume() == 10
+    assert trainer2.cfg.train.flat_optimizer is False  # adopted ckpt layout
+    batches = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=1)
+    trainer2.fit(batches)
+    assert int(trainer2.state.step) == 14

@@ -17,7 +17,7 @@ to exactly 1.0 in f32 and get hoisted; that artifact produced a bogus
 2.16 ms "fwd+bwd" reading this round before this tool existed).
 
 Usage: python tools/bench_fused_bwd.py [variant ...]
-Env:   DPFX_PROBE_B (64), DPFX_PROBE_TILES ("512,1024,2048"),
+Env:   DPFX_PROBE_B (64), DPFX_PROBE_TILES ("1024"; comma list to sweep),
        DPFX_PROBE_VMEM ("32"), DPFX_PROBE_REPS (20)
 """
 
