@@ -24,6 +24,7 @@ def test_dryrun_multichip_bootstraps_from_single_device():
         if "xla_force_host_platform_device_count" not in f
     )
     env.pop("DPFX_DRYRUN_BOOTSTRAPPED", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU dial in the CPU subprocess
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
         "assert len(jax.devices()) == 1, jax.devices()\n"
