@@ -183,6 +183,9 @@ class DataConfig:
     # synthetic dataset controls (tests / smoke configs)
     synthetic_size: int = 256
     synthetic_modes: int = 4
+    synthetic_family: str = "v1"  # v1 (sphere/box/blobs golden-fixture family)
+    #                               | v2 (continuous rotated-surface family for
+    #                               generalization-quality runs)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
@@ -230,6 +233,17 @@ class TrainConfig:
     # round-trip to HBM. Same flax param tree; relu + N <= ENC_MAX_POINTS
     # only (falls back with a warning otherwise). Point modality only.
     fused_encoder: bool = False
+    # skip the whole update (params + optimizer moments) when the global
+    # grad norm is non-finite: one overflowing batch cannot destroy the run
+    # (the round-3 quality run diverged unrecoverably from a single spike
+    # batch at paper scale). No reference analogue — TPU-production
+    # robustness; a non-finite update is never correct.
+    skip_nonfinite_updates: bool = True
+    # abort the run (TrainDivergedError) after this many CONSECUTIVE log
+    # windows in which every update was skipped as non-finite: a run that
+    # diverged through finite updates would otherwise freeze forever while
+    # burning its budget (observed in the round-3 AE attempt). 0 disables.
+    abort_after_skipped_windows: int = 3
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

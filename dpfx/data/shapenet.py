@@ -352,13 +352,15 @@ def build_dataset(cfg, split: str, image_size: int = 64):
                  "test": max(cfg.synthetic_size // 4, 8)}
         from dpfx.data.synthetic import SyntheticDataset
 
-        return SyntheticDataset(size=sizes[split], modes=cfg.synthetic_modes, split=split)
+        return SyntheticDataset(size=sizes[split], modes=cfg.synthetic_modes, split=split,
+                                family=cfg.synthetic_family)
     if cfg.dataset == "synthetic_svr":
         sizes = {"train": cfg.synthetic_size, "val": max(cfg.synthetic_size // 4, 8),
                  "test": max(cfg.synthetic_size // 4, 8)}
         from dpfx.data.svr import SyntheticSVRDataset
 
-        return SyntheticSVRDataset(size=sizes[split], image_size=image_size, split=split)
+        return SyntheticSVRDataset(size=sizes[split], image_size=image_size, split=split,
+                                   family=cfg.synthetic_family)
     if cfg.dataset == "shapenet_h5":
         return ShapeNetH5(
             cfg.path, split=split, category=cfg.category, normalize=cfg.normalize,

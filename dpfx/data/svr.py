@@ -49,9 +49,14 @@ class SyntheticSVRDataset:
     its render from a deterministic view)."""
 
     def __init__(self, size: int = 256, n_stored: int = 2048, image_size: int = 64,
-                 seed: int = 0, split: str = "train"):
-        self.clouds = SyntheticDataset(size=size, n_stored=n_stored, seed=seed, split=split)
+                 seed: int = 0, split: str = "train", family: str = "v1"):
+        self.clouds = SyntheticDataset(size=size, n_stored=n_stored, seed=seed,
+                                       split=split, family=family)
         self.image_size = image_size
+        self.label_names = self.clouds.label_names
+
+    def label(self, idx: int) -> int:
+        return self.clouds.label(idx)
 
     def __len__(self) -> int:
         return len(self.clouds)

@@ -36,6 +36,80 @@ def _blobs(rng: np.random.Generator, n: int, scale: float, k: int) -> np.ndarray
     return centers[assign] + 0.15 * scale * rng.normal(size=(n, 3))
 
 
+# ---------------------------------------------------------------------------
+# "v2" family: continuously-parameterized, randomly-oriented surfaces. The
+# v1 family (sphere/box/blobs) has almost no intra-class variation beyond
+# a global scale, so a generative model can win by memorizing three shapes;
+# v2 items carry per-item continuous shape parameters + a random rotation,
+# making MMD/COV/1-NNA against a held-out split a real generalization
+# measurement (round-3 quality run). v1 streams are untouched: golden
+# fixtures keep their hashes.
+# ---------------------------------------------------------------------------
+
+
+def _rotation(rng: np.random.Generator) -> np.ndarray:
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q = q * np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def _ellipsoid(rng: np.random.Generator, n: int, scale: float) -> np.ndarray:
+    axes = rng.uniform(0.3, 1.0, size=3)
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True) + 1e-9
+    pts = (v * axes) @ _rotation(rng).T
+    return scale * pts + 0.02 * scale * rng.normal(size=(n, 3))
+
+
+def _torus(rng: np.random.Generator, n: int, scale: float) -> np.ndarray:
+    big_r = rng.uniform(0.6, 1.0)
+    small_r = rng.uniform(0.15, 0.35) * big_r
+    u = rng.uniform(0, 2 * np.pi, size=n)
+    # rejection-free minor angle with area-correct density ∝ (R + r cos v)
+    v = rng.uniform(0, 2 * np.pi, size=n)
+    keep = rng.uniform(size=n) < (big_r + small_r * np.cos(v)) / (big_r + small_r)
+    v = np.where(keep, v, rng.uniform(0, 2 * np.pi, size=n))
+    x = (big_r + small_r * np.cos(v)) * np.cos(u)
+    y = (big_r + small_r * np.cos(v)) * np.sin(u)
+    z = small_r * np.sin(v)
+    pts = np.stack([x, y, z], axis=1) @ _rotation(rng).T
+    return scale * pts + 0.02 * scale * rng.normal(size=(n, 3))
+
+
+def _cylinder(rng: np.random.Generator, n: int, scale: float) -> np.ndarray:
+    radius = rng.uniform(0.3, 0.8)
+    half_h = rng.uniform(0.4, 1.0)
+    lateral_area = 2 * np.pi * radius * 2 * half_h
+    cap_area = 2 * np.pi * radius**2
+    on_side = rng.uniform(size=n) < lateral_area / (lateral_area + cap_area)
+    theta = rng.uniform(0, 2 * np.pi, size=n)
+    # side points at radius; cap points at sqrt-uniform radius, z = ±h
+    r_cap = radius * np.sqrt(rng.uniform(size=n))
+    r = np.where(on_side, radius, r_cap)
+    z = np.where(on_side, rng.uniform(-half_h, half_h, size=n),
+                 np.where(rng.uniform(size=n) < 0.5, half_h, -half_h))
+    pts = np.stack([r * np.cos(theta), r * np.sin(theta), z], axis=1)
+    pts = pts @ _rotation(rng).T
+    return scale * pts + 0.02 * scale * rng.normal(size=(n, 3))
+
+
+def _pball(rng: np.random.Generator, n: int, scale: float) -> np.ndarray:
+    # surface of a unit p-norm ball, p ∈ [1.2, 8]: continuously interpolates
+    # octahedron → sphere → box; anisotropic semi-axes + rotation
+    p = rng.uniform(1.2, 8.0)
+    axes = rng.uniform(0.5, 1.0, size=3)
+    v = rng.normal(size=(n, 3))
+    norm_p = np.sum(np.abs(v) ** p, axis=1, keepdims=True) ** (1.0 / p)
+    pts = (v / (norm_p + 1e-9) * axes) @ _rotation(rng).T
+    return scale * pts + 0.02 * scale * rng.normal(size=(n, 3))
+
+
+_V1_KINDS = ("sphere", "box", "blobs")
+_V2_KINDS = ("ellipsoid", "torus", "cylinder", "pball", "blobs")
+
+
 class SyntheticDataset:
     """Deterministic synthetic clouds: item i is reproducible from (seed, i).
 
@@ -53,10 +127,17 @@ class SyntheticDataset:
         seed: int = 0,
         split: str = "train",
         cache: bool = True,
+        family: str = "v1",
     ):
+        if family not in ("v1", "v2"):
+            raise ValueError(f"unknown synthetic family {family!r}")
         self.size = size
         self.n_stored = n_stored
         self.modes = modes
+        self.family = family
+        # dict(id -> name): the per-category eval-table convention
+        # (dpfx/data/shapenet.py label_names)
+        self.label_names = dict(enumerate(_V1_KINDS if family == "v1" else _V2_KINDS))
         # distinct item streams per split
         self.base = {"train": 0, "val": 1_000_000, "test": 2_000_000}[split] + seed * 10_000_000
         # items are deterministic in (seed, idx), so memoize: regenerating a
@@ -68,10 +149,27 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.size
 
+    def label(self, idx: int) -> int:
+        """Shape-kind id (aligned with ``label_names``) for per-category
+        eval tables (SURVEY.md §6)."""
+        return idx % len(self.label_names)
+
     def __getitem__(self, idx: int) -> np.ndarray:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
         rng = np.random.default_rng(self.base + idx)
+        if self.family == "v2":
+            kind = idx % 5
+            scale = 0.5 + 0.5 * rng.uniform()
+            fn = (_ellipsoid, _torus, _cylinder, _pball)
+            if kind < 4:
+                pts = fn[kind](rng, self.n_stored, scale)
+            else:
+                pts = _blobs(rng, self.n_stored, scale, self.modes)
+            out = pts.astype(np.float32)
+            if self._cache is not None:
+                self._cache[idx] = out
+            return out
         kind = idx % 3
         scale = 0.5 + 0.5 * rng.uniform()
         if kind == 0:

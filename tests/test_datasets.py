@@ -208,3 +208,37 @@ def test_prefetch_batches_passthrough():
     assert len(a) == len(b)
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(ba["x"], bb["x"])
+
+
+def test_synthetic_v2_family():
+    """v2 family: deterministic, finite, labeled, and split-disjoint; v1
+    streams (golden fixtures) are unaffected by the family knob."""
+    import numpy as np
+
+    from dpfx.data import SyntheticDataset
+
+    ds = SyntheticDataset(size=10, n_stored=256, family="v2", split="train")
+    assert list(ds.label_names.values()) == ["ellipsoid", "torus", "cylinder", "pball", "blobs"]
+    for i in range(10):
+        x = ds[i]
+        assert x.shape == (256, 3) and np.isfinite(x).all()
+        assert ds.label(i) == i % 5
+    # deterministic in (seed, idx)
+    again = SyntheticDataset(size=10, n_stored=256, family="v2", split="train")
+    np.testing.assert_array_equal(ds[7], again[7])
+    # train/test streams differ
+    test = SyntheticDataset(size=10, n_stored=256, family="v2", split="test")
+    assert not np.array_equal(ds[0], test[0])
+    # v1 default stream is byte-identical whether or not family is passed
+    np.testing.assert_array_equal(
+        SyntheticDataset(size=4, n_stored=64)[2],
+        SyntheticDataset(size=4, n_stored=64, family="v1")[2])
+
+
+def test_synthetic_v2_via_config():
+    from dpfx.config import DataConfig
+    from dpfx.data import build_dataset
+
+    cfg = DataConfig(dataset="synthetic", synthetic_size=12, synthetic_family="v2")
+    ds = build_dataset(cfg, "test")
+    assert ds.family == "v2" and len(ds) == 8  # max(12//4, 8)
