@@ -42,6 +42,12 @@ class TrainState:
     opt_state: Any
 
 
+class TrainDivergedError(RuntimeError):
+    """Raised when every update across train.abort_after_skipped_windows
+    consecutive log windows was skipped as non-finite — the run diverged
+    through finite updates and freezing forever would waste the budget."""
+
+
 def make_schedule(tcfg) -> optax.Schedule:
     """LR schedule with a uniform warmup convention: ``lr_warmup_steps`` of
     linear ramp occupy the FIRST part of the ``decay_steps`` horizon, and
@@ -148,8 +154,23 @@ def make_train_step(
             params = optax.apply_updates(state.params, updates)
             # one concat + one reduction instead of optax.global_norm's
             # per-leaf reduction per tree leaf (320 on the flagship)
-            metrics["grad_norm"] = jnp.linalg.norm(
-                jax.flatten_util.ravel_pytree(grads)[0])
+            gnorm = jnp.linalg.norm(jax.flatten_util.ravel_pytree(grads)[0])
+            metrics["grad_norm"] = gnorm
+            if tcfg.skip_nonfinite_updates:
+                # one overflowing batch must not destroy the run: a
+                # non-finite grad norm (inf/nan anywhere in the tree, incl.
+                # the NaNs clip_by_global_norm emits on an inf norm) skips
+                # the whole update — params AND optimizer moments keep their
+                # pre-step values. Observed: the round-3 v2 quality run
+                # diverged unrecoverably at step ~7.2k from a single spike
+                # batch; the decision is pmean'd-grad-based, so every device
+                # in a shard_map step skips consistently.
+                good = jnp.isfinite(gnorm)
+                sel = lambda new, old: jax.tree.map(
+                    lambda a, b: jnp.where(good, a, b), new, old)
+                params = sel(params, state.params)
+                opt_state = sel(opt_state, state.opt_state)
+                metrics["nonfinite_skipped"] = 1.0 - good.astype(jnp.float32)
             new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
             return new_state, metrics
 
@@ -544,6 +565,7 @@ class _Cadence:
         self.window_steps = 0
         self.t0 = time.perf_counter()
         self.last_ckpt_step = start_step
+        self._skipped_windows = 0  # consecutive fully-skipped log windows
 
     last_eval_step: int = -1  # lets callers skip a redundant post-fit eval
 
@@ -571,10 +593,24 @@ class _Cadence:
             # window_steps = actual steps in this window (the final or
             # first-after-resume window can be shorter than log_every)
             pts = self.window_steps * points_per_step
+            # mean of the 0/1 skip flag x window steps = skipped-step count
+            skipped = round(m.get("nonfinite_skipped", 0.0) * self.window_steps)
+            # stuck-run detector: the skip guard protects params from a
+            # non-finite update, but a run that diverged through FINITE
+            # updates then skips every step forever (observed: the round-3
+            # AE attempt froze at step ~8.2k with SKIPPED=200 per window
+            # for the remaining 12k steps). Abort loudly instead of burning
+            # the rest of the budget on a dead run.
+            if skipped == self.window_steps and self.window_steps > 0:
+                self._skipped_windows += 1
+            else:
+                self._skipped_windows = 0
             tr.log_fn(
                 f"[dpfx] step {step}/{steps} loss={m['loss']:.4f} "
                 f"nll/pt={m['neg_elbo_per_point']:.4f} kl={m['kl']:.3f} "
-                f"gnorm={m['grad_norm']:.2f} ({pts / dt:,.0f} pts/s)"
+                f"gnorm={m['grad_norm']:.2f}"
+                + (f" SKIPPED={skipped}" if skipped else "")
+                + f" ({pts / dt:,.0f} pts/s)"
             )
             tr.history.append({"step": step, **m})
             tr._write_metrics({"kind": "train", "step": step, **m,
@@ -582,6 +618,17 @@ class _Cadence:
             self.window = []
             self.window_steps = 0
             self.t0 = time.perf_counter()
+            limit = tcfg.abort_after_skipped_windows
+            if limit and self._skipped_windows >= limit:
+                raise TrainDivergedError(
+                    f"every update in the last {limit} log windows "
+                    f"({limit * tcfg.log_every} steps) had a non-finite "
+                    f"grad norm: the run has diverged and cannot recover "
+                    f"by skipping. Restore an earlier checkpoint and/or "
+                    f"lower train.lr / model.*.scale_cap. "
+                    f"(train.abort_after_skipped_windows=0 disables this "
+                    f"abort.)"
+                )
         if self.val_fn is not None and crossed(tcfg.eval_every):
             tr.evaluate(self.val_fn())
             self.last_eval_step = step

@@ -339,3 +339,62 @@ def test_resume_across_optimizer_layouts(tmp_path):
     batches = iterate_batches(ds, cfg.train.batch_size, cfg.data.n_points, seed=1)
     trainer2.fit(batches)
     assert int(trainer2.state.step) == 14
+
+
+def test_nonfinite_update_skipped():
+    """A batch that produces non-finite grads must leave params AND
+    optimizer moments untouched (train.skip_nonfinite_updates, default on);
+    with the guard off the same batch poisons the params."""
+    cfg = tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, cfg, rng, tx)
+    step = make_train_step(model, tx, cfg)
+    x = jax.random.normal(rng, (16, 64, 3))
+    state, _ = step(state, {"x": x}, rng)  # one healthy step first
+
+    bad = x.at[0, 0, 0].set(jnp.inf)
+    step_before = int(state.step)  # state is donated by the jitted step
+    before = jax.tree.map(np.asarray, (state.params, state.opt_state))
+    state2, metrics = step(state, {"x": bad}, rng)
+    assert float(metrics["nonfinite_skipped"]) == 1.0
+    after = jax.tree.map(np.asarray, (state2.params, state2.opt_state))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state2.step) == step_before + 1  # step still advances
+
+    # healthy batches report skipped == 0 and do update
+    state3, m3 = step(state2, {"x": x}, rng)
+    assert float(m3["nonfinite_skipped"]) == 0.0
+
+    # guard off: the poisoned update goes through (documents why default=on)
+    cfg_off = tiny_config(train={"skip_nonfinite_updates": False})
+    tx_off = make_optimizer(cfg_off.train)
+    state_off = init_state(model, cfg_off, rng, tx_off)
+    step_off = make_train_step(model, tx_off, cfg_off)
+    state_off, _ = step_off(state_off, {"x": bad}, rng)
+    leaves = [np.asarray(l) for l in jax.tree.leaves(state_off.params)]
+    assert any(not np.isfinite(l).all() for l in leaves)
+
+
+def test_diverged_run_aborts():
+    """A run whose every update is skipped as non-finite for
+    train.abort_after_skipped_windows consecutive log windows raises
+    TrainDivergedError instead of freezing for the remaining budget."""
+    from dpfx.train.trainer import TrainDivergedError
+
+    cfg = tiny_config(train={"steps": 100, "log_every": 2, "ckpt_every": 1000,
+                             "abort_after_skipped_windows": 3,
+                             "ckpt_dir": "/tmp/dpfx_test_diverge"})
+    tr = Trainer(cfg, log_fn=lambda *_: None)
+    rng = np.random.default_rng(0)
+
+    def bad_batches():
+        while True:
+            x = rng.normal(size=(16, 64, 3)).astype(np.float32)
+            x[0, 0, 0] = np.inf
+            yield {"x": x}
+
+    with pytest.raises(TrainDivergedError):
+        tr.fit(bad_batches())
