@@ -24,6 +24,7 @@ coupling arithmetic stays f32 either way.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple
 
 import jax
@@ -36,6 +37,12 @@ from dpfx.models.coupling import ACTIVATIONS, make_masks
 from dpfx.ops.chamfer import _interpret, _round_up
 
 Array = jax.Array
+
+# Mosaic's default scoped-vmem limit is 16MB; the grouped-output sample
+# kernel's stack (G x [8, tile] out block double-buffered + the unrolled
+# 32-layer chain's temps) measured 19.6M at B=256 G>=1 — same fix as the
+# fused-train backward (v5e has 128MB physical VMEM).
+SAMPLE_VMEM_MB = int(os.environ.get("DPFX_SAMPLE_VMEM_MB", "64"))
 
 
 class StackedFlowParams(NamedTuple):
@@ -267,27 +274,31 @@ def _box_muller_rows(shape) -> Array:
 def _fused_sample_kernel(
     seed_ref, hz_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref, x_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
-    activation: str = "relu", unroll: bool = True,
+    activation: str = "relu", unroll: bool = True, clouds_per_step: int = 1,
 ):
     """Like _fused_inverse_kernel but generates the base noise u in-kernel
     (XLA's RNG for the noise tensor costs ~30% of end-to-end sampling on
     this chip). Distributionally equivalent, different stream than
-    jax.random."""
+    jax.random.
+
+    ``clouds_per_step`` > 1 processes G clouds per grid step (hz/out blocks
+    carry a leading G axis): the fixed per-grid-step cost — the measured
+    bound on this kernel once weights are resident (ROUND2/3 dual-issue
+    probe: per-step overhead dominates at K=32) — amortizes over G clouds
+    ("fewer, longer launches", the recorded round-4 serving route)."""
     act = ACTIVATIONS[activation]
     b_ = pl.program_id(0)
     i = pl.program_id(1)
-    pltpu.prng_seed(seed_ref[0] + b_ * pl.num_programs(1) + i)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (8, t), 0)
-    x = jnp.where(row_ids < 3, _box_muller_rows((8, t)), 0.0)
 
-    def layer(li, x):
+    def layer(li, x, g):
         k = n_layers - 1 - li
         mask = masks_ref[k]
         wxk = wx_ref[k].astype(dtype)
         h = jax.lax.dot_general(
             wxk, x.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + hz_ref[0, k]
+        ) + hz_ref[g, k]
         h = act(h).astype(dtype)
 
         def hidden(j, h):
@@ -306,12 +317,19 @@ def _fused_sample_kernel(
         tt = pltpu.roll(st, shift=5, axis=0)
         return jnp.where(mask > 0, x, (x - tt) * jnp.exp(-s))
 
-    if unroll:
-        for li in range(n_layers):
-            x = layer(li, x)
-    else:
-        x = jax.lax.fori_loop(0, n_layers, layer, x, unroll=False)
-    x_ref[0] = x
+    for g in range(clouds_per_step):
+        # per-cloud stream: global cloud index = b_ * G + g (G=1 reduces to
+        # the round-2 formula b_ * nt + i)
+        pltpu.prng_seed(
+            seed_ref[0] + (b_ * clouds_per_step + g) * pl.num_programs(1) + i)
+        x = jnp.where(row_ids < 3, _box_muller_rows((8, t)), 0.0)
+        if unroll:
+            for li in range(n_layers):
+                x = layer(li, x, g)
+        else:
+            x = jax.lax.fori_loop(
+                0, n_layers, lambda li, x: layer(li, x, g), x, unroll=False)
+        x_ref[g] = x
 
 
 def fused_sample_points(
@@ -323,10 +341,17 @@ def fused_sample_points(
     dtype: jnp.dtype = jnp.bfloat16,
     activation: str = "relu",
     unroll: bool = True,
+    clouds_per_step: int | None = None,
 ) -> Array:
     """z [B, dz], scalar int32 seed -> x [B, n_points, 3]: base noise drawn
     by the in-kernel TPU PRNG, then all K inverted couplings applied with
-    everything VMEM-resident."""
+    everything VMEM-resident.
+
+    ``clouds_per_step`` (default: env DPFX_SAMPLE_G, else 1, clamped to a
+    divisor of B) groups G clouds into one grid step — the per-cloud noise
+    stream is G-invariant (seeded by global cloud index), so results are
+    bit-identical across G; only the schedule changes. G=1 is the measured
+    winner (see the A/B note in the body)."""
     b = z.shape[0]
     tile = max(128, tile)  # Mosaic lane constraint: trailing block dim >= 128
     if _interpret():
@@ -344,19 +369,32 @@ def fused_sample_points(
     n_pad = _round_up(n_points, tile)
     nt = n_pad // tile
 
+    # Measured on-chip (tools/bench_sample_g.py, B=256 N=2048, v5e,
+    # 2026-08-18): G=1 66.98M pts/s, G=2 59.34M, G=4 47.20M, G=8 compile
+    # failure — grouping LOSES monotonically. The fixed per-grid-step cost
+    # is overlapped pipeline work, not dead time; coarser blocks reduce
+    # Mosaic's overlap granularity. This closes the round-3 "fewer, longer
+    # launches" route the same way the dual-issue probe closed software
+    # pipelining; the knob stays for reproducing the measurement.
+    if clouds_per_step is None:
+        clouds_per_step = int(os.environ.get("DPFX_SAMPLE_G", "1"))
+    g = max(1, min(clouds_per_step, b))
+    while b % g:  # clamp to a divisor of B (results are G-invariant)
+        g -= 1
+
     hz = jnp.einsum("bd,kdh->bkh", z.astype(sp.wz.dtype), sp.wz) + sp.bx
     hz = hz.astype(jnp.float32)[..., None]
 
     kernel = functools.partial(
         _fused_sample_kernel,
         n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap, dtype=dtype,
-        activation=activation, unroll=unroll,
+        activation=activation, unroll=unroll, clouds_per_step=g,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nt),
+        grid=(b // g, nt),
         in_specs=[
-            pl.BlockSpec((1, k, h, 1), lambda b_, i, *_: (b_, 0, 0, 0),
+            pl.BlockSpec((g, k, h, 1), lambda b_, i, *_: (b_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, h, 8), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, max(n_hidden_m1, 1), h, h), lambda b_, i, *_: (0, 0, 0, 0),
@@ -367,7 +405,7 @@ def fused_sample_points(
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, tile), lambda b_, i, *_: (b_, 0, i),
+        out_specs=pl.BlockSpec((g, 8, tile), lambda b_, i, *_: (b_, 0, i),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -375,6 +413,9 @@ def fused_sample_points(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 8, n_pad), jnp.float32),
         interpret=_interpret(),
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=SAMPLE_VMEM_MB * 1024 * 1024)}
+           if SAMPLE_VMEM_MB and not _interpret() else {}),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
         hz, sp.wx,

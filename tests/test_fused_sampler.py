@@ -64,3 +64,25 @@ def test_fused_tiling_invariance(model_and_params):
     a = fused_point_flow_inverse(sp, u, z, tile=64, dtype=jnp.float32)
     b = fused_point_flow_inverse(sp, u, z, tile=256, dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="in-kernel PRNG has no interpret-mode lowering")
+def test_sample_clouds_per_step_invariance():
+    """clouds_per_step only changes the kernel schedule: the per-cloud noise
+    stream is seeded by GLOBAL cloud index, so G=1/2/8 are bit-identical."""
+    from dpfx.ops.fused_sampler import fused_sample_points
+
+    cfg, model, params = (lambda c: (c, DPF(c), None))(tiny_config())
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jax.random.normal(rng, (2, 16, 3)), rng)
+    sp = stack_point_flow_params(params, cfg.model.point_flow.scale_cap)
+    z = jax.random.normal(jax.random.PRNGKey(3), (8, cfg.model.dz))
+    outs = [
+        np.asarray(fused_sample_points(sp, z, jnp.int32(7), 256, tile=128,
+                                       clouds_per_step=g))
+        for g in (1, 2, 8)
+    ]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    assert np.isfinite(outs[0]).all()
