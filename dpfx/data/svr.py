@@ -49,11 +49,17 @@ class SyntheticSVRDataset:
     its render from a deterministic view)."""
 
     def __init__(self, size: int = 256, n_stored: int = 2048, image_size: int = 64,
-                 seed: int = 0, split: str = "train", family: str = "v1"):
+                 seed: int = 0, split: str = "train", family: str = "v1",
+                 cache: bool = True):
         self.clouds = SyntheticDataset(size=size, n_stored=n_stored, seed=seed,
                                        split=split, family=family)
         self.image_size = image_size
         self.label_names = self.clouds.label_names
+        # renders are deterministic in idx, and re-rendering every epoch made
+        # SVR training host-bound (~1M pts/s wall vs 12M device, round 3);
+        # cache the single channel (the 3-channel repeat is cheap): 8192
+        # items at 64x64 f32 = ~134 MB host RAM
+        self._img_cache: dict | None = {} if cache else None
 
     def label(self, idx: int) -> int:
         return self.clouds.label(idx)
@@ -65,7 +71,13 @@ class SyntheticSVRDataset:
         return self.clouds[idx]
 
     def image(self, idx: int) -> np.ndarray:
-        return render_cloud(self.clouds[idx], self.image_size, view=idx % 8)
+        if self._img_cache is not None and idx in self._img_cache:
+            one = self._img_cache[idx]
+            return np.repeat(one[..., None], 3, axis=-1)
+        img = render_cloud(self.clouds[idx], self.image_size, view=idx % 8)
+        if self._img_cache is not None:
+            self._img_cache[idx] = np.ascontiguousarray(img[..., 0])
+        return img
 
 
 class ShapeNetRenderDataset:

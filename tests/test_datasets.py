@@ -242,3 +242,18 @@ def test_synthetic_v2_via_config():
     cfg = DataConfig(dataset="synthetic", synthetic_size=12, synthetic_family="v2")
     ds = build_dataset(cfg, "test")
     assert ds.family == "v2" and len(ds) == 8  # max(12//4, 8)
+
+
+def test_svr_image_cache_identical():
+    """Cached renders are byte-identical to fresh renders."""
+    import numpy as np
+
+    from dpfx.data.svr import SyntheticSVRDataset
+
+    a = SyntheticSVRDataset(size=6, n_stored=128, family="v2", cache=True)
+    b = SyntheticSVRDataset(size=6, n_stored=128, family="v2", cache=False)
+    for i in range(6):
+        first = a.image(i)     # populates the cache
+        again = a.image(i)     # served from cache
+        np.testing.assert_array_equal(first, again)
+        np.testing.assert_array_equal(first, b.image(i))
