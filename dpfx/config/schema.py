@@ -244,6 +244,13 @@ class TrainConfig:
     # diverged through finite updates would otherwise freeze forever while
     # burning its budget (observed in the round-3 AE attempt). 0 disables.
     abort_after_skipped_windows: int = 3
+    # automatic divergence recovery (Trainer.fit_auto): on the abort above,
+    # restore the latest checkpoint, multiply lr by recovery_lr_factor and
+    # continue, at most max_recoveries times. Opt-in: recovery changes the
+    # effective lr schedule. (Reference level is manual resume — SURVEY §5.)
+    recover_on_divergence: bool = False
+    max_recoveries: int = 2
+    recovery_lr_factor: float = 0.5
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

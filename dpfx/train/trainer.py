@@ -805,6 +805,58 @@ class Trainer:
         self.last_eval_step = cad.last_eval_step
         return self.state
 
+    def fit_auto(
+        self,
+        make_batches: Optional[Callable[[], Iterator]] = None,
+        val_batches_fn: Optional[Callable[[], Iterator]] = None,
+        resident_clouds: Optional[np.ndarray] = None,
+    ) -> TrainState:
+        """``fit``/``fit_resident`` with automatic divergence recovery
+        (``train.recover_on_divergence``, off by default).
+
+        On TrainDivergedError: restore the latest checkpoint (or re-init
+        when none exists yet), multiply ``train.lr`` by
+        ``train.recovery_lr_factor``, rebuild the optimizer + jitted steps,
+        and continue toward ``train.steps`` — at most
+        ``train.max_recoveries`` times, then re-raise. This upgrades the
+        aux-subsystem story from manual resume (the reference's level,
+        SURVEY.md §5) to automatic recovery; semantics change on recovery
+        (lower lr), which is why it is opt-in."""
+        tcfg = self.cfg.train
+        tries = 0
+        while True:
+            try:
+                if resident_clouds is not None:
+                    return self.fit_resident(resident_clouds,
+                                             val_batches_fn=val_batches_fn)
+                return self.fit(make_batches(), val_batches_fn=val_batches_fn)
+            except TrainDivergedError:
+                tries += 1
+                if not tcfg.recover_on_divergence or tries > tcfg.max_recoveries:
+                    raise
+                import dataclasses
+
+                new_lr = tcfg.lr * tcfg.recovery_lr_factor
+                self.cfg.train = tcfg = dataclasses.replace(tcfg, lr=new_lr)
+                restored = self.ckpt.latest_step()
+                self.tx = make_optimizer(tcfg)
+                if restored is None:
+                    self.state = init_state(self.model, self.cfg, self.rng, self.tx)
+                else:
+                    self.state = self.ckpt.restore(TrainState(
+                        step=self.state.step, params=self.state.params,
+                        opt_state=self.tx.init(self.state.params)))
+                self.train_step = make_train_step(self.model, self.tx, self.cfg,
+                                                  self.mesh)
+                if self.steps_per_call > 1:
+                    self.multi_step = make_multi_step(
+                        self.model, self.tx, self.cfg, self.mesh,
+                        self.steps_per_call)
+                self.log_fn(
+                    f"[dpfx] diverged (recovery {tries}/{tcfg.max_recoveries}): "
+                    f"restored step {restored if restored is not None else 0}, "
+                    f"lr -> {new_lr:g}; continuing")
+
     def evaluate(self, batches: Iterator[Dict[str, np.ndarray]]) -> Dict[str, float]:
         nd = self.mesh.devices.size if self.mesh is not None else 1
         ms = []

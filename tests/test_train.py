@@ -398,3 +398,81 @@ def test_diverged_run_aborts():
 
     with pytest.raises(TrainDivergedError):
         tr.fit(bad_batches())
+
+
+def test_fit_auto_recovers_from_divergence():
+    """train.recover_on_divergence: after a diverged-run abort, fit_auto
+    restores (or re-inits), lowers lr, and completes the remaining steps
+    with the restarted batch stream."""
+    cfg = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 1000,
+                             "abort_after_skipped_windows": 3,
+                             "recover_on_divergence": True,
+                             "max_recoveries": 2,
+                             "ckpt_dir": "/tmp/dpfx_test_fitauto"})
+    tr = Trainer(cfg, log_fn=lambda *_: None)
+    rng = np.random.default_rng(0)
+    calls = []
+
+    def make_batches():
+        calls.append(1)
+        poisoned = len(calls) == 1
+
+        def gen():
+            while True:
+                x = rng.normal(size=(16, 64, 3)).astype(np.float32)
+                if poisoned:
+                    x[0, 0, 0] = np.inf
+                yield {"x": x}
+
+        return gen()
+
+    state = tr.fit_auto(make_batches)
+    assert len(calls) == 2              # one restart
+    assert int(state.step) == 40        # run completed
+    assert tr.cfg.train.lr == pytest.approx(0.5e-3)  # lr halved on recovery
+
+    # with recovery off the same stream raises (guard still protects params)
+    from dpfx.train.trainer import TrainDivergedError
+
+    cfg2 = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 1000,
+                              "abort_after_skipped_windows": 3,
+                              "ckpt_dir": "/tmp/dpfx_test_fitauto2"})
+    tr2 = Trainer(cfg2, log_fn=lambda *_: None)
+    calls.clear()
+    with pytest.raises(TrainDivergedError):
+        tr2.fit_auto(make_batches)
+
+
+def test_fit_auto_restores_checkpoint_on_recovery():
+    """When a checkpoint predates the divergence, fit_auto resumes from it
+    rather than re-initializing."""
+    cfg = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 10,
+                             "abort_after_skipped_windows": 3,
+                             "recover_on_divergence": True,
+                             "ckpt_dir": "/tmp/dpfx_test_fitauto3"})
+    import shutil
+
+    shutil.rmtree("/tmp/dpfx_test_fitauto3", ignore_errors=True)
+    logs = []
+    tr = Trainer(cfg, log_fn=logs.append)
+    rng = np.random.default_rng(0)
+    calls = []
+
+    def make_batches():
+        calls.append(1)
+        first = len(calls) == 1
+
+        def gen():
+            n = 0
+            while True:
+                n += 1
+                x = rng.normal(size=(16, 64, 3)).astype(np.float32)
+                if first and n > 20:   # healthy for 20 steps, then poisoned
+                    x[0, 0, 0] = np.inf
+                yield {"x": x}
+
+        return gen()
+
+    state = tr.fit_auto(make_batches)
+    assert int(state.step) == 40
+    assert any("restored step 20" in l for l in logs), logs

@@ -63,13 +63,14 @@ def main(argv=None) -> int:
         print(f"[dpfx] device-resident split: {clouds.shape[0]} clouds x "
               f"{clouds.shape[1]} stored pts "
               f"({clouds.nbytes / 1e6:.0f} MB -> HBM)")
-        trainer.fit_resident(clouds, val_batches_fn=val_batches)
+        trainer.fit_auto(resident_clouds=clouds, val_batches_fn=val_batches)
         if trainer.last_eval_step != int(trainer.state.step):
             trainer.evaluate(val_batches())
         print(f"[dpfx] done at step {int(trainer.state.step)}; "
               f"checkpoints in {trainer.ckpt.directory}")
         return 0
 
+    native_batcher = None
     if cfg.data.packed_path and not svr:
         # native C++ threaded loader over a packed cloud stack
         from dpfx.native import NativeBatcher, native_available
@@ -77,20 +78,21 @@ def main(argv=None) -> int:
         if native_available():
             # packed stacks are written from dataset[i], i.e. already carry
             # the dataset-level normalization — never re-normalize here
-            nb = NativeBatcher(
+            native_batcher = NativeBatcher(
                 cfg.data.packed_path, cfg.train.batch_size, cfg.data.n_points,
                 normalize="none",
                 seed=cfg.train.seed, n_workers=max(cfg.data.num_workers, 2),
             )
-            print(f"[dpfx] native loader: {nb.n_items} clouds x {nb.n_stored} pts "
-                  f"from {cfg.data.packed_path}")
-            batches = iter(nb)
+            print(f"[dpfx] native loader: {native_batcher.n_items} clouds x "
+                  f"{native_batcher.n_stored} pts from {cfg.data.packed_path}")
         else:
             print("[dpfx] native loader unavailable; falling back to numpy loader")
-            batches = None
-    else:
-        batches = None
-    if batches is None:  # python loader path (either branch above)
+
+    def make_batches():
+        # a CALLABLE so fit_auto can restart the stream after a divergence
+        # recovery (train.recover_on_divergence)
+        if native_batcher is not None:
+            return iter(native_batcher)
         batches = iterate_batches(
             train_ds, cfg.train.batch_size, cfg.data.n_points,
             seed=cfg.train.seed, with_images=svr,
@@ -99,8 +101,9 @@ def main(argv=None) -> int:
             from dpfx.data import prefetch_batches
 
             batches = prefetch_batches(batches, depth=cfg.data.num_workers)
+        return batches
 
-    trainer.fit(batches, val_batches_fn=val_batches)
+    trainer.fit_auto(make_batches, val_batches_fn=val_batches)
     if trainer.last_eval_step != int(trainer.state.step):
         # skip a redundant re-eval when the cadence already evaluated at
         # the final step
