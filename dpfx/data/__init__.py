@@ -5,6 +5,7 @@ from dpfx.data.loader import (
     load_all_images,
     load_all_labels,
     sample_cloud,
+    stratified_indices,
 )
 from dpfx.data.svr import ShapeNetRenderDataset, SyntheticSVRDataset, render_cloud
 from dpfx.data.shapenet import (
@@ -27,6 +28,7 @@ __all__ = [
     "load_all_images",
     "load_all_labels",
     "sample_cloud",
+    "stratified_indices",
     "ShapeNetRenderDataset",
     "SyntheticSVRDataset",
     "render_cloud",

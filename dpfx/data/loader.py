@@ -117,26 +117,63 @@ def prefetch_batches(batches: Iterator, depth: int = 2) -> Iterator:
         stop.set()
 
 
-def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None) -> np.ndarray:
-    """Materialize a full split as [S, n_points, 3] (eval protocol)."""
-    rng = np.random.default_rng(seed)
+def _subset_rows(dataset, limit: Optional[int],
+                 indices: Optional[np.ndarray]) -> np.ndarray:
+    if indices is not None:
+        return np.asarray(indices, np.int64)
     count = len(dataset) if limit is None else min(limit, len(dataset))
-    return np.stack([sample_cloud(dataset[i], n_points, rng) for i in range(count)])
+    return np.arange(count)
 
 
-def load_all_labels(dataset, limit: Optional[int] = None) -> Optional[np.ndarray]:
+def stratified_indices(labels: np.ndarray, limit: int, seed: int = 0) -> np.ndarray:
+    """Seeded, label-proportional row subset (sorted). A PREFIX limit on a
+    dataset whose files are grouped by category (ShapeNet trees list one
+    synset after another) silently turns an all-category eval into a
+    single-category one — observed: the npy-dir rehearsal's first 400 test
+    rows were all one kind, so the gen suite compared 5-kind samples
+    against 1-kind references and 1-NNA read 0.73 instead of ~0.55."""
+    labels = np.asarray(labels)
+    if limit >= labels.shape[0]:
+        return np.arange(labels.shape[0])
+    rng = np.random.default_rng(seed)
+    cats, counts = np.unique(labels, return_counts=True)
+    take = np.maximum((counts * limit / labels.shape[0]).astype(np.int64), 1)
+    while take.sum() > limit:  # rounding overflow: trim the largest classes
+        take[np.argmax(take)] -= 1
+    while take.sum() < limit:
+        take[np.argmin(take / counts)] += 1
+    picked = []
+    for c, t in zip(cats, take):
+        rows = np.flatnonzero(labels == c)
+        picked.append(rng.choice(rows, size=min(t, rows.size), replace=False))
+    return np.sort(np.concatenate(picked))
+
+
+def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None,
+             indices: Optional[np.ndarray] = None) -> np.ndarray:
+    """Materialize a full split as [S, n_points, 3] (eval protocol).
+    ``indices`` (e.g. from :func:`stratified_indices`) overrides the
+    prefix ``limit``."""
+    rng = np.random.default_rng(seed)
+    rows = _subset_rows(dataset, limit, indices)
+    return np.stack([sample_cloud(dataset[int(i)], n_points, rng) for i in rows])
+
+
+def load_all_labels(dataset, limit: Optional[int] = None,
+                    indices: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     """Category ids aligned with load_all's rows, or None for label-less
     datasets (per-category eval reporting, SURVEY.md §6)."""
     if not hasattr(dataset, "label"):
         return None
-    count = len(dataset) if limit is None else min(limit, len(dataset))
-    return np.array([dataset.label(i) for i in range(count)], np.int32)
+    rows = _subset_rows(dataset, limit, indices)
+    return np.array([dataset.label(int(i)) for i in rows], np.int32)
 
 
-def load_all_images(dataset, limit: Optional[int] = None) -> Optional[np.ndarray]:
+def load_all_images(dataset, limit: Optional[int] = None,
+                    indices: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     """Materialize the paired renders [S, H, W, 3] for SVR eval, or None
     for image-less datasets."""
     if not hasattr(dataset, "image"):
         return None
-    count = len(dataset) if limit is None else min(limit, len(dataset))
-    return np.stack([dataset.image(i) for i in range(count)])
+    rows = _subset_rows(dataset, limit, indices)
+    return np.stack([dataset.image(int(i)) for i in rows])

@@ -257,3 +257,27 @@ def test_svr_image_cache_identical():
         again = a.image(i)     # served from cache
         np.testing.assert_array_equal(first, again)
         np.testing.assert_array_equal(first, b.image(i))
+
+
+def test_stratified_indices_balanced_and_aligned():
+    """Category-grouped trees: a prefix --limit would collapse the eval to
+    one category; stratified_indices keeps label proportions and the
+    loaders stay row-aligned under an indices subset."""
+    import numpy as np
+
+    from dpfx.data import SyntheticDataset, load_all, load_all_labels, stratified_indices
+
+    labels = np.repeat(np.arange(4), 50)  # grouped layout
+    idx = stratified_indices(labels, 40)
+    u, c = np.unique(labels[idx], return_counts=True)
+    assert list(u) == [0, 1, 2, 3] and all(x == 10 for x in c)
+    np.testing.assert_array_equal(idx, stratified_indices(labels, 40))  # seeded
+
+    ds = SyntheticDataset(size=20, n_stored=64, family="v2", split="test")
+    all_lab = load_all_labels(ds)
+    sub = stratified_indices(all_lab, 10)
+    clouds = load_all(ds, 32, indices=sub)
+    lab = load_all_labels(ds, indices=sub)
+    assert clouds.shape == (10, 32, 3) and lab.shape == (10,)
+    for row, i in enumerate(sub):
+        assert lab[row] == ds.label(int(i))

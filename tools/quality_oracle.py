@@ -41,7 +41,8 @@ def main(argv=None) -> int:
     import numpy as np
 
     from dpfx.config import load_config
-    from dpfx.data import build_dataset, load_all, load_all_labels
+    from dpfx.data import (build_dataset, load_all, load_all_labels,
+                           stratified_indices)
     from dpfx.metrics import compute_all_metrics
     from dpfx.parallel import create_mesh
 
@@ -49,9 +50,22 @@ def main(argv=None) -> int:
     metrics = args.metrics.split(",") if args.metrics else cfg.eval.metrics
     test_ds = build_dataset(cfg.data, "test", cfg.model.image_encoder.image_size)
     train_ds = build_dataset(cfg.data, "train", cfg.model.image_encoder.image_size)
-    ref = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit)
-    fake_real = load_all(train_ds, cfg.data.n_points_eval, limit=args.limit)
-    labels = load_all_labels(test_ds, limit=args.limit) if cfg.data.category == "all" else None
+
+    def subset(ds):
+        # stratify category-grouped trees; a prefix limit would collapse
+        # the eval to one category (see dpfx.data.stratified_indices)
+        if args.limit is None or args.limit >= len(ds):
+            return None
+        lab = load_all_labels(ds)
+        if lab is None or len(set(lab.tolist())) <= 1:
+            return None
+        return stratified_indices(lab, args.limit)
+
+    ti, ri = subset(test_ds), subset(train_ds)
+    ref = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit, indices=ti)
+    fake_real = load_all(train_ds, cfg.data.n_points_eval, limit=args.limit, indices=ri)
+    labels = (load_all_labels(test_ds, limit=args.limit, indices=ti)
+              if cfg.data.category == "all" else None)
     label_names = getattr(test_ds, "label_names", None)
     mesh = create_mesh(cfg.parallel.axis_name)
     s = ref.shape[0]
