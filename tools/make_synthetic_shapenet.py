@@ -29,12 +29,38 @@ KIND_TO_CATEGORY = ["airplane", "chair", "car", "table", "lamp"]
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("root")
+    ap.add_argument("root", help="npy-dir tree root, or the .h5 path with --h5")
     ap.add_argument("--train", type=int, default=8192)
     ap.add_argument("--valtest", type=int, default=2048)
     ap.add_argument("--points", type=int, default=4096)
     ap.add_argument("--family", default="v2")
+    ap.add_argument("--h5", action="store_true",
+                    help="write ONE HDF5 file (ShapeNetH5 layout: <split> "
+                         "[S,N,3] + <split>_labels + label_names synset "
+                         "table) instead of the npy-dir tree")
     args = ap.parse_args(argv)
+
+    if args.h5:
+        import h5py
+
+        with h5py.File(args.root, "w") as f:
+            for split, size in (("train", args.train), ("val", args.valtest),
+                                ("test", args.valtest)):
+                ds = SyntheticDataset(size=size, n_stored=args.points,
+                                      family=args.family, split=split, cache=False)
+                data = np.stack([ds[i] for i in range(size)])
+                labels = np.array(
+                    [ds.label(i) % len(KIND_TO_CATEGORY) for i in range(size)],
+                    np.int64)
+                f.create_dataset(split, data=data)
+                f.create_dataset(f"{split}_labels", data=labels)
+                print(f"[make_synthetic_shapenet] {split}: {data.shape} -> "
+                      f"{args.root}")
+            # label-id -> synset-id table; the loader translates synsets to
+            # category names (ShapeNetH5._label_map_from_file)
+            f.create_dataset("label_names", data=np.array(
+                [SYNSET_IDS[c].encode() for c in KIND_TO_CATEGORY]))
+        return 0
 
     for split, size in (("train", args.train), ("val", args.valtest),
                         ("test", args.valtest)):
