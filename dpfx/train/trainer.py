@@ -873,9 +873,17 @@ class Trainer:
         ms = jax.device_get(ms)  # one host transfer, not one per scalar
         agg = {k: float(np.mean([m[k] for m in ms])) for k in ms[0]} if ms else {}
         if agg:
+            # medians over the per-batch means: a sharp flow assigns a few
+            # outlier val clouds astronomically bad likelihoods (raw-frame
+            # flagship runs logged val means of 1e11+ while the fit was
+            # healthy), so the mean alone is useless as a health signal
+            for k in list(agg):
+                agg[f"{k}_median"] = float(np.median([m[k] for m in ms]))
             self.log_fn(
                 f"[dpfx] val @ step {int(self.state.step)}: "
-                + " ".join(f"{k}={v:.4f}" for k, v in agg.items())
+                + " ".join(f"{k}={agg[k]:.4f}" for k in ms[0])
+                + f" (median neg_elbo/pt="
+                f"{agg['neg_elbo_per_point_median']:.4f})"
             )
             self._write_metrics({"kind": "val", "step": int(self.state.step), **agg})
         return agg

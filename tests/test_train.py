@@ -476,3 +476,24 @@ def test_fit_auto_restores_checkpoint_on_recovery():
     state = tr.fit_auto(make_batches)
     assert int(state.step) == 40
     assert any("restored step 20" in l for l in logs), logs
+
+
+def test_val_median_metrics_robust_to_outlier_batch():
+    """evaluate() reports *_median alongside means: one outlier val batch
+    (a sharp flow's astronomically-bad cloud) must not poison the median."""
+    cfg = tiny_config()
+    tr = Trainer(cfg, log_fn=lambda *_: None)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        for i in range(5):
+            x = rng.normal(size=(8, 64, 3)).astype(np.float32)
+            if i == 2:
+                x *= 1e4  # one pathological batch
+            yield {"x": x}
+
+    agg = tr.evaluate(batches())
+    assert "neg_elbo_per_point_median" in agg
+    med = agg["neg_elbo_per_point_median"]
+    mean = agg["neg_elbo_per_point"]
+    assert mean > 100 * max(abs(med), 1.0)  # mean poisoned, median sane
