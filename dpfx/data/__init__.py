@@ -6,6 +6,7 @@ from dpfx.data.loader import (
     load_all_labels,
     sample_cloud,
     stratified_indices,
+    eval_subset,
 )
 from dpfx.data.svr import ShapeNetRenderDataset, SyntheticSVRDataset, render_cloud
 from dpfx.data.shapenet import (
@@ -29,6 +30,7 @@ __all__ = [
     "load_all_labels",
     "sample_cloud",
     "stratified_indices",
+    "eval_subset",
     "ShapeNetRenderDataset",
     "SyntheticSVRDataset",
     "render_cloud",

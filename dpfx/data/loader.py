@@ -149,6 +149,24 @@ def stratified_indices(labels: np.ndarray, limit: int, seed: int = 0) -> np.ndar
     return np.sort(np.concatenate(picked))
 
 
+def eval_subset(dataset, limit: Optional[int], seed: int = 0):
+    """The eval-subset convention in one place (used by evaluate.py and
+    tools/quality_oracle.py so the model eval and its oracle brackets can
+    never drift apart): returns ``(indices, labels)`` where ``indices`` is
+    a label-stratified subset when the dataset is labeled+multi-class and
+    ``limit`` caps it (None otherwise — callers fall back to the prefix
+    ``limit``), and ``labels`` is aligned with the resulting rows (None
+    for label-less datasets)."""
+    labels_all = load_all_labels(dataset)
+    if labels_all is None:
+        return None, None
+    if limit is not None and limit < len(dataset) and len(np.unique(labels_all)) > 1:
+        indices = stratified_indices(labels_all, limit, seed)
+        return indices, labels_all[indices]
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    return None, labels_all[:count]
+
+
 def load_all(dataset, n_points: int, seed: int = 0, limit: Optional[int] = None,
              indices: Optional[np.ndarray] = None) -> np.ndarray:
     """Materialize a full split as [S, n_points, 3] (eval protocol).

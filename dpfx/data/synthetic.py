@@ -67,10 +67,21 @@ def _torus(rng: np.random.Generator, n: int, scale: float) -> np.ndarray:
     big_r = rng.uniform(0.6, 1.0)
     small_r = rng.uniform(0.15, 0.35) * big_r
     u = rng.uniform(0, 2 * np.pi, size=n)
-    # rejection-free minor angle with area-correct density ∝ (R + r cos v)
+    # area-correct minor angle via iterated rejection: accept v with prob
+    # ∝ (R + r cos v)/(R + r). 8 rounds leave <= 0.26^8 ≈ 1e-5 of points
+    # with a plain-uniform v — negligible (a single-round resample kept a
+    # measurable inner-ring bias; review finding)
     v = rng.uniform(0, 2 * np.pi, size=n)
-    keep = rng.uniform(size=n) < (big_r + small_r * np.cos(v)) / (big_r + small_r)
-    v = np.where(keep, v, rng.uniform(0, 2 * np.pi, size=n))
+    pending = rng.uniform(size=n) >= (big_r + small_r * np.cos(v)) / (big_r + small_r)
+    for _ in range(8):
+        if not pending.any():
+            break
+        k = int(pending.sum())
+        v[pending] = rng.uniform(0, 2 * np.pi, size=k)
+        accept = rng.uniform(size=k) < (
+            (big_r + small_r * np.cos(v[pending])) / (big_r + small_r))
+        idx = np.flatnonzero(pending)
+        pending[idx[accept]] = False
     x = (big_r + small_r * np.cos(v)) * np.cos(u)
     y = (big_r + small_r * np.cos(v)) * np.sin(u)
     z = small_r * np.sin(v)

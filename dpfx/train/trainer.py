@@ -633,8 +633,16 @@ class _Cadence:
             tr.evaluate(self.val_fn())
             self.last_eval_step = step
         if crossed(tcfg.ckpt_every) or step == steps:
-            tr.ckpt.save(step, tr.state)
-            self.last_ckpt_step = step
+            if self._skipped_windows > 0:
+                # the run is in a fully-skipped (likely diverged) phase:
+                # saving now would overwrite the last healthy checkpoint
+                # with post-divergence params and make fit_auto's recovery
+                # restore the very state that diverged (review finding)
+                tr.log_fn(f"[dpfx] skipping checkpoint at step {step}: "
+                          f"run is in a fully-skipped window")
+            else:
+                tr.ckpt.save(step, tr.state)
+                self.last_ckpt_step = step
 
     def finish(self) -> None:
         if self.step != self.last_ckpt_step:
@@ -838,6 +846,11 @@ class Trainer:
 
                 new_lr = tcfg.lr * tcfg.recovery_lr_factor
                 self.cfg.train = tcfg = dataclasses.replace(tcfg, lr=new_lr)
+                # the abort propagated out of record(), so finish() never
+                # ran: drain any in-flight async orbax save before reading
+                # the latest step (review finding: racing the finalizer can
+                # surface an older step or a half-written checkpoint)
+                self.ckpt.wait()
                 restored = self.ckpt.latest_step()
                 self.tx = make_optimizer(tcfg)
                 if restored is None:

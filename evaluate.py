@@ -30,8 +30,7 @@ def main(argv=None) -> int:
     import jax
 
     from dpfx.config import load_config
-    from dpfx.data import (build_dataset, load_all, load_all_images,
-                           load_all_labels, stratified_indices)
+    from dpfx.data import build_dataset, eval_subset, load_all, load_all_images
     from dpfx.metrics import evaluate_generation, evaluate_reconstruction
     from dpfx.parallel import create_mesh
     from dpfx.train import restore_for_eval
@@ -42,20 +41,16 @@ def main(argv=None) -> int:
 
     test_ds = build_dataset(cfg.data, "test", cfg.model.image_encoder.image_size)
     # a PREFIX --limit on a category-grouped tree (ShapeNet layouts list one
-    # synset after another) would eval against a single category; stratify
-    # the subset by label instead (dpfx.data.stratified_indices)
-    indices = None
-    if args.limit is not None and args.limit < len(test_ds):
-        all_labels = load_all_labels(test_ds)
-        if all_labels is not None and len(set(all_labels.tolist())) > 1:
-            indices = stratified_indices(all_labels, args.limit)
+    # synset after another) would eval against a single category; the shared
+    # eval-subset convention stratifies by label (dpfx.data.eval_subset —
+    # the same helper the oracle tool uses, so brackets can't drift)
+    indices, subset_labels = eval_subset(test_ds, args.limit)
     clouds = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit,
                       indices=indices)
     images = (load_all_images(test_ds, limit=args.limit, indices=indices)
               if cfg.experiment == "svr" else None)
     # per-category reporting for all-category runs (SURVEY.md §6 tables)
-    labels = (load_all_labels(test_ds, limit=args.limit, indices=indices)
-              if cfg.data.category == "all" else None)
+    labels = subset_labels if cfg.data.category == "all" else None
     label_names = getattr(test_ds, "label_names", None)
     rng = jax.random.PRNGKey(0)
     mesh = create_mesh(cfg.parallel.axis_name)

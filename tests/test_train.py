@@ -404,6 +404,9 @@ def test_fit_auto_recovers_from_divergence():
     """train.recover_on_divergence: after a diverged-run abort, fit_auto
     restores (or re-inits), lowers lr, and completes the remaining steps
     with the restarted batch stream."""
+    import shutil
+
+    shutil.rmtree("/tmp/dpfx_test_fitauto", ignore_errors=True)
     cfg = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 1000,
                              "abort_after_skipped_windows": 3,
                              "recover_on_divergence": True,
@@ -446,7 +449,11 @@ def test_fit_auto_recovers_from_divergence():
 def test_fit_auto_restores_checkpoint_on_recovery():
     """When a checkpoint predates the divergence, fit_auto resumes from it
     rather than re-initializing."""
-    cfg = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 10,
+    # ckpt_every=4: a checkpoint cadence lands INSIDE the fully-skipped
+    # phase (steps 21+); the cadence must skip that save (else recovery
+    # would restore the in-divergence state) and recovery restores the
+    # last healthy checkpoint at step 20
+    cfg = tiny_config(train={"steps": 40, "log_every": 2, "ckpt_every": 4,
                              "abort_after_skipped_windows": 3,
                              "recover_on_divergence": True,
                              "ckpt_dir": "/tmp/dpfx_test_fitauto3"})

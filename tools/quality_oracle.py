@@ -41,8 +41,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from dpfx.config import load_config
-    from dpfx.data import (build_dataset, load_all, load_all_labels,
-                           stratified_indices)
+    from dpfx.data import build_dataset, eval_subset, load_all
     from dpfx.metrics import compute_all_metrics
     from dpfx.parallel import create_mesh
 
@@ -51,21 +50,13 @@ def main(argv=None) -> int:
     test_ds = build_dataset(cfg.data, "test", cfg.model.image_encoder.image_size)
     train_ds = build_dataset(cfg.data, "train", cfg.model.image_encoder.image_size)
 
-    def subset(ds):
-        # stratify category-grouped trees; a prefix limit would collapse
-        # the eval to one category (see dpfx.data.stratified_indices)
-        if args.limit is None or args.limit >= len(ds):
-            return None
-        lab = load_all_labels(ds)
-        if lab is None or len(set(lab.tolist())) <= 1:
-            return None
-        return stratified_indices(lab, args.limit)
-
-    ti, ri = subset(test_ds), subset(train_ds)
+    # the SAME subset convention as evaluate.py (shared helper, so the
+    # oracle brackets and the model eval can never drift apart)
+    ti, test_labels = eval_subset(test_ds, args.limit)
+    ri, _ = eval_subset(train_ds, args.limit)
     ref = load_all(test_ds, cfg.data.n_points_eval, limit=args.limit, indices=ti)
     fake_real = load_all(train_ds, cfg.data.n_points_eval, limit=args.limit, indices=ri)
-    labels = (load_all_labels(test_ds, limit=args.limit, indices=ti)
-              if cfg.data.category == "all" else None)
+    labels = test_labels if cfg.data.category == "all" else None
     label_names = getattr(test_ds, "label_names", None)
     mesh = create_mesh(cfg.parallel.axis_name)
     s = ref.shape[0]
