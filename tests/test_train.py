@@ -504,3 +504,23 @@ def test_val_median_metrics_robust_to_outlier_batch():
     med = agg["neg_elbo_per_point_median"]
     mean = agg["neg_elbo_per_point"]
     assert mean > 100 * max(abs(med), 1.0)  # mean poisoned, median sane
+
+
+def test_nonfinite_skip_consistent_on_mesh():
+    """Sharded step: the skip decision is made on the pmean'd grads, so
+    every device skips consistently and params stay replicated+unchanged."""
+    cfg = tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(0)
+    state = init_state(model, cfg, rng, tx)
+    step = make_train_step(model, tx, cfg, create_mesh())
+    x = jax.random.normal(rng, (16, 64, 3))
+    state, _ = step(state, {"x": x}, rng)
+
+    before = jax.tree.map(np.asarray, state.params)
+    bad = x.at[3, 5, 1].set(jnp.nan)  # lands on one device's shard
+    state2, m = step(state, {"x": bad}, rng)
+    assert float(m["nonfinite_skipped"]) == 1.0
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
