@@ -485,10 +485,10 @@ def test_fit_auto_restores_checkpoint_on_recovery():
     assert any("restored step 20" in l for l in logs), logs
 
 
-def test_val_median_metrics_robust_to_outlier_batch():
+def test_val_median_metrics_robust_to_outlier_batch(tmp_path):
     """evaluate() reports *_median alongside means: one outlier val batch
     (a sharp flow's astronomically-bad cloud) must not poison the median."""
-    cfg = tiny_config()
+    cfg = tiny_config(train={"ckpt_dir": str(tmp_path)})
     tr = Trainer(cfg, log_fn=lambda *_: None)
     rng = np.random.default_rng(0)
 
