@@ -32,7 +32,12 @@ def main(argv=None) -> int:
     rules = load_rules_file(args.rules) if args.rules else DEFAULT_RULES
     params = load_torch_checkpoint(args.checkpoint, cfg, rules, strict=not args.no_strict)
     save_as_orbax(params, args.out)
+    import os
+
+    parent, leaf = os.path.split(os.path.abspath(args.out))
     print(f"[dpfx] converted {args.checkpoint} -> {args.out} (verified against config)")
+    print(f"[dpfx] evaluate with: python evaluate.py {args.config} "
+          f"train.ckpt_dir={parent} name={leaf}")
     return 0
 
 

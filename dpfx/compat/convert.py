@@ -177,16 +177,27 @@ def load_torch_checkpoint(
 
 
 def save_as_orbax(params, directory: str, step: int = 0) -> None:
-    """Write converted params as an orbax checkpoint loadable by
-    dpfx.train.CheckpointManager (params-only tree)."""
-    import os
+    """Write converted params in the dpfx CheckpointManager layout (a
+    params-only TrainState-shaped tree under a step directory), so the
+    converted checkpoint plugs straight into the eval/generate CLIs:
 
-    import orbax.checkpoint as ocp
+        python evaluate.py cfg.yaml train.ckpt_dir=<parent-of-out> name=<out-leaf>
 
-    path = os.path.abspath(os.path.join(directory, f"converted_{step}"))
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, params)
-    ckptr.wait_until_finished()  # orbax saves async; block before returning
+    (Earlier rounds wrote a bare ``converted_<step>`` StandardCheckpointer
+    dir that restore_for_eval could NOT read — the docstring claimed
+    otherwise; round-3 review.)"""
+    import numpy as np
+
+    from dpfx.train.trainer import CheckpointManager  # deferred: no cycle at import time
+
+    mgr = CheckpointManager(directory)
+    mgr.manager.save(
+        step,
+        args=mgr._ocp.args.StandardSave(
+            {"step": np.int32(step), "params": params}),
+        force=True,
+    )
+    mgr.wait()
 
 
 def load_rules_file(path: str) -> List[Rule]:

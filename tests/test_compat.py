@@ -150,9 +150,12 @@ def test_svr_pt_to_orbax_to_eval_roundtrip(tmp_path):
     params = load_torch_checkpoint(str(pt), cfg)  # strict + template-verified
     out_dir = tmp_path / "orbax"
     from dpfx.compat import save_as_orbax
+    from dpfx.train.trainer import CheckpointManager
 
     save_as_orbax(params, str(out_dir), step=0)
-    restored = ocp.StandardCheckpointer().restore(str(out_dir / "converted_0"))
+    # the converted checkpoint must be readable through the SAME path the
+    # eval/generate CLIs use (restore_for_eval -> restore_params)
+    restored = CheckpointManager(str(out_dir)).restore_params(None, step=0)
 
     model = DPF(cfg)
     s = cfg.model.image_encoder.image_size
