@@ -33,11 +33,14 @@ def main(argv=None) -> int:
     params = load_torch_checkpoint(args.checkpoint, cfg, rules, strict=not args.no_strict)
     save_as_orbax(params, args.out)
     import os
+    import shlex
 
     parent, leaf = os.path.split(os.path.abspath(args.out))
     print(f"[dpfx] converted {args.checkpoint} -> {args.out} (verified against config)")
-    print(f"[dpfx] evaluate with: python evaluate.py {args.config} "
-          f"train.ckpt_dir={parent} name={leaf}")
+    # --step 0: latest_step() could pick a pre-existing higher step in the
+    # same directory; quote everything for copy-paste safety
+    print(f"[dpfx] evaluate with: python evaluate.py {shlex.quote(args.config)} "
+          f"train.ckpt_dir={shlex.quote(parent)} name={shlex.quote(leaf)} --step 0")
     return 0
 
 

@@ -186,18 +186,13 @@ def save_as_orbax(params, directory: str, step: int = 0) -> None:
     (Earlier rounds wrote a bare ``converted_<step>`` StandardCheckpointer
     dir that restore_for_eval could NOT read — the docstring claimed
     otherwise; round-3 review.)"""
-    import numpy as np
-
     from dpfx.train.trainer import CheckpointManager  # deferred: no cycle at import time
 
-    mgr = CheckpointManager(directory)
-    mgr.manager.save(
-        step,
-        args=mgr._ocp.args.StandardSave(
-            {"step": np.int32(step), "params": params}),
-        force=True,
-    )
-    mgr.wait()
+    # max_to_keep=None: the default retention (3) silently garbage-collects
+    # EXISTING steps when --out points at a dir that already holds
+    # checkpoints — a convert command must never delete training state
+    # (round-3 review, reproduced live)
+    CheckpointManager(directory, max_to_keep=None).save_params(step, params)
 
 
 def load_rules_file(path: str) -> List[Rule]:

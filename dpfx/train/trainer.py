@@ -458,7 +458,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
 class CheckpointManager:
     """Orbax-backed save/restore with resume (SURVEY.md §2 C12)."""
 
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: Optional[int] = 3):
         import orbax.checkpoint as ocp
 
         self._ocp = ocp
@@ -471,6 +471,18 @@ class CheckpointManager:
 
     def save(self, step: int, state: TrainState, force: bool = False) -> None:
         self.manager.save(step, args=self._ocp.args.StandardSave(state), force=force)
+
+    def save_params(self, step: int, params) -> None:
+        """Write a params-only checkpoint (``{"step", "params"}`` tree) that
+        ``restore_params`` / the eval CLIs can read — the converter's save
+        path. Blocks until durable."""
+        self.manager.save(
+            step,
+            args=self._ocp.args.StandardSave(
+                {"step": np.int32(step), "params": params}),
+            force=True,
+        )
+        self.wait()
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -139,8 +139,6 @@ def test_svr_pt_to_orbax_to_eval_roundtrip(tmp_path):
     """End-to-end SVR path (SURVEY.md §9.8): torch.save an SVR mirror ->
     load_torch_checkpoint (strict, config-verified) -> save_as_orbax ->
     restore -> run the SVR posterior + decode on the restored params."""
-    import orbax.checkpoint as ocp
-
     cfg = _svr_config("conv")
     mirror = DPFMirror(cfg)
     mirror.randomize_(seed=12)
@@ -200,3 +198,21 @@ def test_unknown_key_strictness(converted):
         convert_state_dict(sd, strict=True)
     params = convert_state_dict(sd, strict=False)  # skips the mystery key
     assert "mystery" not in params["params"]
+
+
+def test_save_as_orbax_never_deletes_existing_steps(tmp_path):
+    """Converting into a directory that already holds training checkpoints
+    must not trigger orbax retention (review finding: the default
+    max_to_keep=3 deleted the oldest existing step)."""
+    import numpy as np
+
+    from dpfx.compat import save_as_orbax
+    from dpfx.train.trainer import CheckpointManager
+
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d)
+    for s in (100, 200, 300):
+        mgr.save_params(s, {"w": np.ones((2,), np.float32) * s})
+    save_as_orbax({"w": np.zeros((2,), np.float32)}, d, step=0)
+    steps = sorted(CheckpointManager(d).manager.all_steps())
+    assert steps == [0, 100, 200, 300], steps
