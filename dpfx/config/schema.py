@@ -233,6 +233,12 @@ class TrainConfig:
     # round-trip to HBM. Same flax param tree; relu + N <= ENC_MAX_POINTS
     # only (falls back with a warning otherwise). Point modality only.
     fused_encoder: bool = False
+    # route log p(z) (and its gradients) through the fused latent-flow
+    # kernel pair (dpfx/ops/fused_latent.py): the latent flow is ~1 us of
+    # MXU work but 1.91 ms of the 11.65 ms flagship step as XLA tiny-op
+    # soup (tools/prof_train.py, round 3). relu + no actnorm + dz > 16 only
+    # (falls back with a warning otherwise).
+    fused_latent_flow: bool = False
     # skip the whole update (params + optimizer moments) when the global
     # grad norm is non-finite: one overflowing batch cannot destroy the run
     # (the round-3 quality run diverged unrecoverably from a single spike

@@ -143,6 +143,7 @@ class DPF(nn.Module):
         self, x: Array, rng: Array, image: Optional[Array] = None,
         eps: Optional[Array] = None,
         posterior: Optional[Tuple[Array, Array]] = None,
+        with_logp_z: bool = True,
     ) -> dict:
         """Posterior + latent-prior ELBO pieces WITHOUT the point-flow
         reconstruction term — the fused-train path (dpfx.ops.fused_train)
@@ -152,16 +153,17 @@ class DPF(nn.Module):
         shard_map train step draws it OUTSIDE the sharded region with the
         global batch shape, so per-device local shapes don't change the
         random stream vs the single-device step. ``posterior`` optionally
-        supplies a precomputed (mu, logvar) — the fused-encoder path."""
+        supplies a precomputed (mu, logvar) — the fused-encoder path.
+        ``with_logp_z=False`` skips the prior term — the fused-latent path
+        (dpfx.ops.fused_latent) computes it outside apply()."""
         mu, logvar = posterior if posterior is not None else self.posterior(x, image)
         if eps is None:
             eps = jax.random.normal(rng, mu.shape, dtype=mu.dtype)
         z = mu + jnp.exp(0.5 * logvar) * eps
-        return dict(
-            logq=gaussian_logprob(z, mu, logvar),
-            logp_z=self.latent_flow.log_prob(z),
-            z=z,
-        )
+        out = dict(logq=gaussian_logprob(z, mu, logvar), z=z)
+        if with_logp_z:
+            out["logp_z"] = self.latent_flow.log_prob(z)
+        return out
 
     def __call__(self, x: Array, rng: Array, image: Optional[Array] = None) -> Array:
         """Negative ELBO per cloud (init/apply default)."""

@@ -34,6 +34,41 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
+def _make_latent_inverse(model: DPF, params):
+    """Returns eps -> z through the latent prior flow.
+
+    XLA is the default DESPITE being a 14-layer tiny-op soup: the fused
+    latent kernel (dpfx.ops.fused_latent) measures a wash-to-small-loss in
+    same-process A/Bs (B=1: 1.111 ms XLA vs 1.090 fused; B=64: 3.03 vs
+    3.26; B=256: 8.61 vs 8.65 — round 3). XLA overlaps the soup into the
+    big point-flow kernel's gaps, while the extra custom-call is a hard
+    serialization point. DPFX_SAMPLE_FUSED_LATENT=1 enables the fused
+    path for re-measurement on other hardware."""
+    import os
+
+    from dpfx.ops.fused_latent import (
+        fused_latent_inverse,
+        fused_latent_supported,
+        stack_latent_params_jnp,
+    )
+
+    lf_cfg = model.config.model.latent_flow
+    dz = model.config.model.dz
+    if (os.environ.get("DPFX_SAMPLE_FUSED_LATENT") == "1"
+            and fused_latent_supported(lf_cfg, dz)):
+        stacked = jax.tree.map(
+            jnp.asarray, stack_latent_params_jnp(params, lf_cfg.n_layers, dz))
+        return lambda eps: fused_latent_inverse(params, eps, lf_cfg,
+                                                stacked=stacked)
+
+    def xla_inverse(eps):
+        z, _ = model.apply(params, eps,
+                           method=lambda m, e: m.latent_flow.inverse(e))
+        return z
+
+    return xla_inverse
+
+
 def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
                              activation="relu"):
     """Base noise is drawn by the in-kernel TPU PRNG (Box-Muller over
@@ -74,12 +109,12 @@ def make_sampler(
         dtype = jnp.dtype(pf_cfg.compute_dtype)
         tile = min(2048, _round_up(n_points, 128))
 
+        latent_inverse = _make_latent_inverse(model, params)
+
         def sample(rng):
             kz, ku = jax.random.split(rng)
             eps = jax.random.normal(kz, (n_clouds, dz))
-            z, _ = model.apply(
-                params, eps, method=lambda m, e: m.latent_flow.inverse(e)
-            )
+            z = latent_inverse(eps)
             return _fused_noise_and_inverse(sp, z, ku, n_clouds, n_points, tile,
                                             dtype, pf_cfg.activation)
 
@@ -114,13 +149,13 @@ def _make_sharded_sampler(
         # replicated): passing StackedFlowParams as an operand would trace
         # its static scale_cap leaf into an f32[] tracer, which the Pallas
         # kernel needs at python time
+        latent_inverse = _make_latent_inverse(model, params)
+
         def per_device(rng):
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
             kz, ku = jax.random.split(rng)
             eps = jax.random.normal(kz, (shard, dz))
-            z, _ = model.apply(
-                params, eps, method=lambda m, e: m.latent_flow.inverse(e)
-            )
+            z = latent_inverse(eps)
             return _fused_noise_and_inverse(
                 sp, z, ku, shard, n_points, tile, dtype, pf_cfg.activation
             )

@@ -61,6 +61,7 @@ def elbo_loss(
     fused_point_flow: bool = False,
     eps: Optional[Array] = None,
     fused_encoder: bool = False,
+    fused_latent_flow: bool = False,
 ) -> Tuple[Array, dict]:
     """Returns (scalar loss, metrics dict). x: [B, N, 3].
 
@@ -84,20 +85,47 @@ def elbo_loss(
                 params, x, enc_cfg, model.config.model.dz)
         else:
             _warn_enc_unsupported(enc_cfg, x.shape[-2])
-    if fused_point_flow:
+    use_fused_lat = False
+    if fused_latent_flow:
+        from dpfx.ops.fused_latent import fused_latent_supported
+
+        lf_cfg = model.config.model.latent_flow
+        use_fused_lat = fused_latent_supported(lf_cfg, model.config.model.dz)
+        if not use_fused_lat:
+            _warn_once(
+                ("lat", lf_cfg.activation, lf_cfg.use_actnorm,
+                 model.config.model.dz),
+                "dpfx.train: fused_latent_flow requested but the latent-flow "
+                "config is outside the fused kernel's support (needs relu, "
+                "no actnorm, dz > 16 and dz % 8 == 0); using the XLA path",
+            )
+    if fused_point_flow or use_fused_lat:
         from dpfx.ops.fused_train import (
             fused_point_flow_recon_ll,
             fused_train_supported,
         )
 
         flow_cfg = model.config.model.point_flow
-        if fused_train_supported(flow_cfg):
-            t = model.apply(params, x, rng, image, eps, posterior,
-                            method=model.elbo_latent_terms)
-            t = dict(t)
-            t["recon_ll"] = fused_point_flow_recon_ll(params, x, t["z"], flow_cfg)
-        else:
+        use_fused_pf = fused_point_flow and fused_train_supported(flow_cfg)
+        if fused_point_flow and not use_fused_pf:
             _warn_fused_unsupported(flow_cfg)
+        if use_fused_pf or use_fused_lat:
+            t = dict(model.apply(params, x, rng, image, eps, posterior,
+                                 not use_fused_lat,
+                                 method=model.elbo_latent_terms))
+            if use_fused_pf:
+                t["recon_ll"] = fused_point_flow_recon_ll(
+                    params, x, t["z"], flow_cfg)
+            else:
+                t["recon_ll"] = model.apply(
+                    params, x, t["z"],
+                    method=lambda m, x_, z_: m.point_flow.log_prob(x_, z_),
+                ).sum(-1)
+            if use_fused_lat:
+                from dpfx.ops.fused_latent import fused_latent_log_prob
+
+                t["logp_z"] = fused_latent_log_prob(params, t["z"], lf_cfg)
+        else:
             t = model.apply(params, x, rng, image, eps, posterior,
                             method=model.elbo_terms)
     else:

@@ -144,6 +144,7 @@ def make_train_step(
                     fused_point_flow=tcfg.fused_point_flow,
                     eps=batch.get("eps"),
                     fused_encoder=tcfg.fused_encoder,
+                    fused_latent_flow=tcfg.fused_latent_flow,
                 )
 
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -187,7 +188,7 @@ def make_train_step(
         return jax.jit(step_fn, donate_argnums=0)
 
     axis = cfg.parallel.axis_name
-    if tcfg.fused_point_flow or tcfg.fused_encoder:
+    if tcfg.fused_point_flow or tcfg.fused_encoder or tcfg.fused_latent_flow:
         # Pallas custom calls don't partition under plain pjit — run the
         # whole step per-device under shard_map with an explicit grad pmean.
         # The reparameterization noise is drawn OUTSIDE the sharded region
@@ -237,7 +238,8 @@ def make_multi_step(
     multi_device = mesh is not None and mesh.devices.size > 1
     axis = cfg.parallel.axis_name
     fused_sharded = multi_device and (
-        cfg.train.fused_point_flow or cfg.train.fused_encoder)
+        cfg.train.fused_point_flow or cfg.train.fused_encoder
+        or cfg.train.fused_latent_flow)
     step_fn = make_train_step(
         model, tx, cfg, mesh=mesh, jit=False,
         pmean_axis=axis if fused_sharded else None,
@@ -345,7 +347,8 @@ def make_resident_multi_step(
     dz = cfg.model.dz
     multi_device = mesh is not None and mesh.devices.size > 1
     axis = cfg.parallel.axis_name
-    fused_sharded = multi_device and (tcfg.fused_point_flow or tcfg.fused_encoder)
+    fused_sharded = multi_device and (
+        tcfg.fused_point_flow or tcfg.fused_encoder or tcfg.fused_latent_flow)
     step_fn = make_train_step(
         model, tx, cfg, mesh=mesh, jit=False,
         pmean_axis=axis if fused_sharded else None,
@@ -424,6 +427,7 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
                 fused_point_flow=cfg.train.fused_point_flow,
                 eps=batch.get("eps"),
                 fused_encoder=cfg.train.fused_encoder,
+                fused_latent_flow=cfg.train.fused_latent_flow,
             )
             if pmean_axis is not None:
                 metrics = jax.lax.pmean(metrics, pmean_axis)
@@ -434,7 +438,8 @@ def make_eval_step(model: DPF, cfg: Config, mesh: Optional[Mesh] = None) -> Call
     if mesh is None or mesh.devices.size == 1:
         return jax.jit(make_eval_fn())
     axis = cfg.parallel.axis_name
-    if cfg.train.fused_point_flow or cfg.train.fused_encoder:
+    if (cfg.train.fused_point_flow or cfg.train.fused_encoder
+            or cfg.train.fused_latent_flow):
         # same shard_map treatment as the train step: pallas doesn't
         # partition under pjit, and the out-of-region eps draw keeps the
         # metric stream identical to single-device
