@@ -111,7 +111,10 @@ def test_batch_padding_and_multi_tile():
         z = jax.random.normal(jax.random.fold_in(rng, b), (b, cfg.model.dz))
         ref = np.asarray(_flax_logp(model, params, z))
         got = np.asarray(fused_latent_log_prob(params, z, cfg.model.latent_flow))
-        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-5)
+        # rtol 2e-4: the real chip's f32 matmul rounding differs from
+        # XLA's op order by up to ~7e-5 rel on this fixture (DPFX_TEST_TPU
+        # run, round 3); interpret mode matches far tighter
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=5e-5)
 
     # weight grads with B=200 (two grid steps accumulate)
     z = jax.random.normal(jax.random.fold_in(rng, 99), (200, cfg.model.dz))
