@@ -20,7 +20,7 @@ from dpfx.data.shapenet import (
     normalize_cloud,
 )
 from dpfx.data.synthetic import SyntheticDataset
-from dpfx.data.device import preload_clouds
+from dpfx.data.device import preload_clouds, preload_images
 
 __all__ = [
     "iterate_batches",
@@ -44,4 +44,5 @@ __all__ = [
     "normalize_cloud",
     "SyntheticDataset",
     "preload_clouds",
+    "preload_images",
 ]

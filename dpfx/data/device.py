@@ -12,8 +12,12 @@ throughput equals device throughput by construction (measured on this
 box: the host/tunnel path capped the 12M pts/s flagship step at ~2-4M
 wall; see BASELINE.md round 3).
 
-Enable with ``data.device_resident: true`` (point-modality experiments);
-``Trainer.fit_resident`` consumes the preloaded stack.
+Enable with ``data.device_resident: true``; ``Trainer.fit_resident``
+consumes the preloaded stack(s). SVR experiments preload the paired
+render stack too (``preload_images``) — at the synthetic-SVR scale
+(8192 items x 64x64x3 f32) that is ~400 MB of HBM, and it removes the
+host batch-assembly bound that capped SVR wall throughput at ~0.7M
+pts/s against a ~12M device step (round-3 measurement).
 """
 
 from __future__ import annotations
@@ -46,4 +50,27 @@ def preload_clouds(dataset, limit: Optional[int] = None) -> np.ndarray:
                 f"is {x.shape}, item 0 is {first.shape}"
             )
         out[i] = x
+    return out
+
+
+def preload_images(dataset, limit: Optional[int] = None) -> np.ndarray:
+    """Materialize a paired SVR dataset's renders as one [S, H, W, C] f32
+    stack (``dataset.image(i)`` — the same deterministic per-index view
+    the host loader feeds, so a resident step sees exactly the pairs
+    ``iterate_batches(with_images=True)`` would). Requires uniform image
+    shapes; raises otherwise."""
+    count = len(dataset) if limit is None else min(limit, len(dataset))
+    if count == 0:
+        raise ValueError("cannot preload an empty dataset")
+    first = np.asarray(dataset.image(0), np.float32)
+    out = np.empty((count,) + first.shape, np.float32)
+    out[0] = first
+    for i in range(1, count):
+        img = np.asarray(dataset.image(i), np.float32)
+        if img.shape != first.shape:
+            raise ValueError(
+                f"device-resident preload needs uniform image shapes: item {i} "
+                f"is {img.shape}, item 0 is {first.shape}"
+            )
+        out[i] = img
     return out

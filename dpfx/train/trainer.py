@@ -330,6 +330,7 @@ def make_resident_multi_step(
     cfg: Config,
     mesh: Optional[Mesh] = None,
     steps_per_call: int = 8,
+    with_images: bool = False,
 ) -> Callable:
     """K train steps per dispatch with batches GATHERED ON DEVICE from an
     HBM-resident dataset stack [S, P, 3] (``data.device_resident``).
@@ -339,7 +340,12 @@ def make_resident_multi_step(
     data transfer per call, so wall throughput == device throughput even
     over slow host links (see dpfx/data/device.py). Index and noise draws
     happen at GLOBAL shape outside the sharded region — updates are
-    bit-identical across mesh sizes, the same policy as make_multi_step."""
+    bit-identical across mesh sizes, the same policy as make_multi_step.
+
+    With ``with_images`` (SVR: the paired render stack [S, H, W, C] is
+    resident too) the returned fn is fn(state, data, images, rng); the
+    same on-device cloud index gathers the paired render, so pairing
+    matches the host loader's ``with_images=True`` batches."""
     tcfg = cfg.train
     k = steps_per_call
     b = tcfg.batch_size
@@ -357,7 +363,7 @@ def make_resident_multi_step(
         NamedSharding(mesh, P(axis)) if (multi_device and not fused_sharded) else None
     )
 
-    def multi(state: TrainState, data: Array, ci: Array, pi: Array,
+    def multi(state: TrainState, data: Array, images, ci: Array, pi: Array,
               eps: Array, rng: Array):
         subsample = data.shape[1] != n
 
@@ -366,47 +372,63 @@ def make_resident_multi_step(
             x = jnp.take(data, ci_t, axis=0)            # [B(local), P, 3]
             if subsample:
                 x = jnp.take_along_axis(x, pi_t[..., None], axis=1)
+            batch = {"x": x, "eps": eps_t}
+            if images is not None:
+                # the SAME index gathers the paired render: pairing is the
+                # dataset's (cloud i, image i), exactly like the host loader
+                img = jnp.take(images, ci_t, axis=0)    # [B(local), H, W, C]
+                if shard_x is not None:
+                    img = jax.lax.with_sharding_constraint(
+                        img, NamedSharding(mesh, P(axis)))
+                batch["image"] = img
             if shard_x is not None:
-                x = jax.lax.with_sharding_constraint(x, shard_x)
-            st, m = step_fn(st, {"x": x, "eps": eps_t}, rng)
+                batch["x"] = jax.lax.with_sharding_constraint(x, shard_x)
+            st, m = step_fn(st, batch, rng)
             return st, m
 
         return jax.lax.scan(body, state, (ci, pi, eps))
 
+    def wrap(entry):
+        """Uniform public signature: (state, data[, images], rng)."""
+        if with_images:
+            return lambda state, data, images, rng: entry(state, data, images, rng)
+        return lambda state, data, rng: entry(state, data, None, rng)
+
     if not multi_device:
-        def entry_single(state: TrainState, data: Array, rng: Array):
+        def entry_single(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
             ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
-            return multi(state, data, ci, pi, eps, rng)
+            return multi(state, data, images, ci, pi, eps, rng)
 
-        return jax.jit(entry_single, donate_argnums=0)
+        return jax.jit(wrap(entry_single), donate_argnums=0)
 
     if fused_sharded:
         sharded = _shard_map(
             multi, mesh=mesh,
-            in_specs=(P(), P(), P(None, axis), P(None, axis, None),
+            in_specs=(P(), P(), P(), P(None, axis), P(None, axis, None),
                       P(None, axis, None), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
 
-        def entry_fused(state: TrainState, data: Array, rng: Array):
+        def entry_fused(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
             ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
-            return sharded(state, data, ci, pi, eps, rng)
+            return sharded(state, data, images, ci, pi, eps, rng)
 
-        return jax.jit(entry_fused, donate_argnums=0)
+        return jax.jit(wrap(entry_fused), donate_argnums=0)
 
-    def entry_pjit(state: TrainState, data: Array, rng: Array):
+    def entry_pjit(state: TrainState, data: Array, images, rng: Array):
         s, p = data.shape[0], data.shape[1]
         ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
-        return multi(state, data, ci, pi, eps, rng)
+        return multi(state, data, images, ci, pi, eps, rng)
 
     repl = NamedSharding(mesh, P())
+    shardings = (repl, repl, repl, repl) if with_images else (repl, repl, repl)
     return jax.jit(
-        entry_pjit,
+        wrap(entry_pjit),
         donate_argnums=0,
-        in_shardings=(repl, repl, repl),
+        in_shardings=shardings,
         out_shardings=(repl, repl),
     )
 
@@ -798,33 +820,46 @@ class Trainer:
         clouds: np.ndarray,
         val_batches_fn: Optional[Callable[[], Iterator]] = None,
         steps: Optional[int] = None,
+        images: Optional[np.ndarray] = None,
     ) -> TrainState:
         """Train with the split HBM-resident (``data.device_resident``):
         ``clouds`` is the preloaded, dataset-normalized [S, P, 3] stack
         (``dpfx.data.device.preload_clouds``). Batching happens on device
         inside the dispatched call — zero host->device data traffic in
-        steady state (see dpfx/data/device.py). Point modality only."""
+        steady state (see dpfx/data/device.py). For SVR, pass the paired
+        render stack [S, H, W, C] as ``images``
+        (``dpfx.data.device.preload_images``)."""
         tcfg = self.cfg.train
         steps = steps or tcfg.steps
         b, n = tcfg.batch_size, self.cfg.data.n_points
         data = jnp.asarray(clouds, jnp.float32)
+        if images is not None:
+            images = jnp.asarray(images, jnp.float32)
         if self.mesh is not None and self.mesh.devices.size > 1:
-            data = jax.device_put(data, NamedSharding(self.mesh, P()))
+            repl = NamedSharding(self.mesh, P())
+            data = jax.device_put(data, repl)
+            if images is not None:
+                images = jax.device_put(images, repl)
         cad = _Cadence(self, steps, val_batches_fn, int(self.state.step))
         spc = self.steps_per_call
+        with_images = images is not None
         multi = make_resident_multi_step(self.model, self.tx, self.cfg,
-                                         self.mesh, spc)
+                                         self.mesh, spc,
+                                         with_images=with_images)
+        call = ((lambda fn, st: fn(st, data, images, self.rng)) if with_images
+                else (lambda fn, st: fn(st, data, self.rng)))
         tail_fn = None  # one extra jit instance for the final partial group
         while cad.step < steps:
             remaining = steps - cad.step
             if remaining >= spc:
-                self.state, metrics = multi(self.state, data, self.rng)
+                self.state, metrics = call(multi, self.state)
                 cad.record(spc, metrics, b * n)
             else:
                 if tail_fn is None:
                     tail_fn = make_resident_multi_step(
-                        self.model, self.tx, self.cfg, self.mesh, remaining)
-                self.state, metrics = tail_fn(self.state, data, self.rng)
+                        self.model, self.tx, self.cfg, self.mesh, remaining,
+                        with_images=with_images)
+                self.state, metrics = call(tail_fn, self.state)
                 cad.record(remaining, metrics, b * n)
         cad.finish()
         self.last_eval_step = cad.last_eval_step
@@ -835,6 +870,7 @@ class Trainer:
         make_batches: Optional[Callable[[], Iterator]] = None,
         val_batches_fn: Optional[Callable[[], Iterator]] = None,
         resident_clouds: Optional[np.ndarray] = None,
+        resident_images: Optional[np.ndarray] = None,
     ) -> TrainState:
         """``fit``/``fit_resident`` with automatic divergence recovery
         (``train.recover_on_divergence``, off by default).
@@ -853,7 +889,8 @@ class Trainer:
             try:
                 if resident_clouds is not None:
                     return self.fit_resident(resident_clouds,
-                                             val_batches_fn=val_batches_fn)
+                                             val_batches_fn=val_batches_fn,
+                                             images=resident_images)
                 return self.fit(make_batches(), val_batches_fn=val_batches_fn)
             except TrainDivergedError:
                 tries += 1

@@ -198,6 +198,153 @@ def test_preload_clouds_validates():
         preload_direct(Empty())
 
 
+def svr_tiny_config(**over):
+    d = {
+        "experiment": "svr",
+        "name": "resident_svr_test",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+            # mixer (pure matmul): bit-deterministic across program shapes.
+            # XLA-CPU conv autodiff differs by ulps between the scan and
+            # standalone programs, which early Adam amplifies to ~1e-3 —
+            # measured: per-step LOSSES identical, params drift; the conv
+            # path is covered by test_fit_resident_svr_learns and the CLI
+            # SVR smoke.
+            "image_encoder": {"arch": "mixer", "patch": 8, "width": 32,
+                              "depth": 2, "image_size": 16},
+        },
+        "data": {"dataset": "synthetic_svr", "n_points": 64,
+                 "synthetic_size": 32, "device_resident": True},
+        "train": {
+            "batch_size": 16,
+            "steps": 9,
+            "steps_per_call": 3,
+            "lr": 1e-3,
+            "log_every": 3,
+            "ckpt_every": 1000,
+            "eval_every": 1000,
+        },
+    }
+    for k, v in over.items():
+        d[k].update(v) if isinstance(v, dict) and k in d else d.update({k: v})
+    return config_from_dict(d)
+
+
+def _images(s=48, hw=16, seed=7):
+    return np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(seed), (s, hw, hw, 3)),
+        np.float32,
+    )
+
+
+def test_resident_svr_matches_host_fed_steps():
+    """SVR resident K-step call == K host-fed steps on the (cloud, image)
+    pairs the resident draw selects: the on-device image gather must feed
+    the SAME paired render the host loader would."""
+    cfg = svr_tiny_config()
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(3)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data, images = _data(s=32), _images(s=32)
+    k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
+
+    ci, pi, eps = _resident_draw(
+        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
+    step = make_train_step(model, tx, cfg, None)
+    for t in range(k):
+        x = jnp.asarray(data)[ci[t]]
+        img = jnp.asarray(images)[ci[t]]
+        s0, m0 = step(s0, {"x": x, "image": img}, rng)
+
+    multi = make_resident_multi_step(model, tx, cfg, None, k, with_images=True)
+    s1, m1 = multi(s1, jnp.asarray(data), jnp.asarray(images), rng)
+    assert m1["loss"].shape == (k,)
+    np.testing.assert_allclose(float(m1["loss"][-1]), float(m0["loss"]),
+                               rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_resident_svr_sharded_matches_single(fused):
+    """SVR resident multi-step on the 8-device mesh == single device, for
+    the pjit path and the fused(point-flow) shard_map path — the image
+    stack rides replicated and gathers shard with the batch."""
+    cfg = svr_tiny_config(
+        data={"n_points": 32},
+        train={"fused_point_flow": fused},
+    )
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(1)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = jnp.asarray(_data(s=40, p=100))
+    images = jnp.asarray(_images(s=40))
+
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2,
+                                            with_images=True)
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    multi_mesh = make_resident_multi_step(model, tx, cfg, mesh, 2,
+                                          with_images=True)
+    s0, m0 = multi_single(s0, data, images, rng)
+    s1, m1 = multi_mesh(s1, data, images, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_fit_resident_svr_learns(tmp_path):
+    """End-to-end resident SVR: preload (clouds, renders) from the paired
+    synthetic dataset, train through fit_resident, learn, checkpoint."""
+    from dpfx.data import preload_images
+    from dpfx.data.svr import SyntheticSVRDataset
+
+    cfg = svr_tiny_config(
+        # the conv (reference-style) backbone rides the resident path here
+        model={"image_encoder": {"arch": "conv", "widths": [8, 16],
+                                 "blocks_per_stage": 1, "image_size": 16}},
+        train={"steps": 30, "steps_per_call": 6,
+               "log_every": 6, "ckpt_every": 30,
+               "ckpt_dir": str(tmp_path)})
+    trainer = Trainer(cfg)
+    ds = SyntheticSVRDataset(size=32, n_stored=64, image_size=16)
+    clouds, images = preload_clouds(ds), preload_images(ds)
+    assert clouds.shape == (32, 64, 3)
+    assert images.shape == (32, 16, 16, 3)
+    trainer.fit_resident(clouds, images=images)
+    assert int(trainer.state.step) == 30
+    assert trainer.ckpt.latest_step() == 30
+    first, last = trainer.history[0], trainer.history[-1]
+    assert last["loss"] < first["loss"], f"no learning: {first} -> {last}"
+
+
+def test_preload_images_validates():
+    class RaggedImages:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):  # pragma: no cover
+            return np.zeros((8, 3), np.float32)
+
+        def image(self, i):
+            return np.zeros((8 + i, 8, 3), np.float32)
+
+    from dpfx.data import preload_images
+
+    with pytest.raises(ValueError, match="uniform image shapes"):
+        preload_images(RaggedImages())
+
+
 def test_resident_stored_smaller_than_n_points():
     """Stored clouds smaller than data.n_points: the resident draw falls
     back to with-replacement indices (== loader.sample_cloud's m < n_points

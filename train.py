@@ -54,16 +54,20 @@ def main(argv=None) -> int:
             seed=0, shuffle=False, epochs=1, drop_last=False, with_images=svr,
         )
 
-    if cfg.data.device_resident and not svr:
+    if cfg.data.device_resident:
         # TPU-native data path: the whole split lives in HBM; batching
-        # happens on device inside the dispatched call (dpfx/data/device.py)
-        from dpfx.data.device import preload_clouds
+        # happens on device inside the dispatched call (dpfx/data/device.py).
+        # SVR preloads the paired render stack too.
+        from dpfx.data.device import preload_clouds, preload_images
 
         clouds = preload_clouds(train_ds)
+        images = preload_images(train_ds) if svr else None
         print(f"[dpfx] device-resident split: {clouds.shape[0]} clouds x "
               f"{clouds.shape[1]} stored pts "
-              f"({clouds.nbytes / 1e6:.0f} MB -> HBM)")
-        trainer.fit_auto(resident_clouds=clouds, val_batches_fn=val_batches)
+              f"({clouds.nbytes / 1e6:.0f} MB -> HBM)"
+              + (f" + renders ({images.nbytes / 1e6:.0f} MB)" if svr else ""))
+        trainer.fit_auto(resident_clouds=clouds, resident_images=images,
+                         val_batches_fn=val_batches)
         if trainer.last_eval_step != int(trainer.state.step):
             trainer.evaluate(val_batches())
         print(f"[dpfx] done at step {int(trainer.state.step)}; "
