@@ -25,3 +25,14 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+def require_mesh8(mesh) -> None:
+    """Skip (not fail) sharded-vs-single tests off the 8-device CPU mesh —
+    under DPFX_TEST_TPU=1 there is one real chip and a 1-device mesh
+    trivially equals single-device, so the comparison proves nothing."""
+    if mesh.devices.size != 8:
+        pytest.skip(
+            f"needs the 8-device virtual CPU mesh; have {mesh.devices.size} "
+            "device(s) (DPFX_TEST_TPU runs see the one real chip)"
+        )

@@ -21,6 +21,7 @@ from dpfx.train import (
     make_train_step,
 )
 from dpfx.train.trainer import _resident_draw
+from tests.conftest import require_mesh8
 
 
 def tiny_config(**over):
@@ -130,7 +131,7 @@ def test_resident_sharded_matches_single(fused):
 
     multi_single = make_resident_multi_step(model, tx, cfg, None, 2)
     mesh = create_mesh()
-    assert mesh.devices.size == 8
+    require_mesh8(mesh)
     multi_mesh = make_resident_multi_step(model, tx, cfg, mesh, 2)
     s0, m0 = multi_single(s0, data, rng)
     s1, m1 = multi_mesh(s1, data, rng)
@@ -291,7 +292,7 @@ def test_resident_svr_sharded_matches_single(fused):
     multi_single = make_resident_multi_step(model, tx, cfg, None, 2,
                                             with_images=True)
     mesh = create_mesh()
-    assert mesh.devices.size == 8
+    require_mesh8(mesh)
     multi_mesh = make_resident_multi_step(model, tx, cfg, mesh, 2,
                                           with_images=True)
     s0, m0 = multi_single(s0, data, images, rng)

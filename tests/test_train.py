@@ -12,6 +12,7 @@ from dpfx.data import SyntheticDataset, iterate_batches, load_all
 from dpfx.models import DPF
 from dpfx.parallel import create_mesh
 from dpfx.train import Trainer, init_state, make_optimizer, make_train_step
+from tests.conftest import require_mesh8
 
 
 def tiny_config(**over):
@@ -42,7 +43,7 @@ def tiny_config(**over):
 def test_train_step_sharded_on_mesh():
     cfg = tiny_config()
     mesh = create_mesh()
-    assert mesh.devices.size == 8, "conftest should provide 8 CPU devices"
+    require_mesh8(mesh)
     model = DPF(cfg)
     tx = make_optimizer(cfg.train)
     rng = jax.random.PRNGKey(0)
