@@ -26,7 +26,14 @@ def create_mesh(
 ) -> Mesh:
     """1-D data-parallel mesh over all (or the first n) local devices."""
     devs = list(devices if devices is not None else jax.devices())
+    if n_devices == 0:
+        raise ValueError("n_devices must be -1 (all) or positive, got 0")
     if n_devices > 0:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"parallel.data_axis={n_devices} devices requested but only "
+                f"{len(devs)} are visible"
+            )
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

@@ -53,7 +53,7 @@ def main(argv=None) -> int:
     labels = subset_labels if cfg.data.category == "all" else None
     label_names = getattr(test_ds, "label_names", None)
     rng = jax.random.PRNGKey(0)
-    mesh = create_mesh(cfg.parallel.axis_name)
+    mesh = create_mesh(cfg.parallel.axis_name, n_devices=cfg.parallel.data_axis)
 
     if cfg.experiment in ("ae", "svr"):
         results = evaluate_reconstruction(

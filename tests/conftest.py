@@ -21,18 +21,12 @@ jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
 
+# kept as a conftest re-export for backward compatibility; lives in
+# tests/_helpers.py so test modules import it without re-importing this
+# env-mutating file as a second module (ADVICE round 3)
+from _helpers import require_mesh8  # noqa: E402, F401
+
 
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
-
-
-def require_mesh8(mesh) -> None:
-    """Skip (not fail) sharded-vs-single tests off the 8-device CPU mesh —
-    under DPFX_TEST_TPU=1 there is one real chip and a 1-device mesh
-    trivially equals single-device, so the comparison proves nothing."""
-    if mesh.devices.size != 8:
-        pytest.skip(
-            f"needs the 8-device virtual CPU mesh; have {mesh.devices.size} "
-            "device(s) (DPFX_TEST_TPU runs see the one real chip)"
-        )

@@ -7,7 +7,7 @@ import jax
 
 from dpfx.config import config_from_dict
 from dpfx.config.schema import config_to_dict
-from tests.conftest import require_mesh8
+from _helpers import require_mesh8
 
 
 def test_config_extra_round_trips_cleanly():

@@ -12,7 +12,7 @@ from dpfx.data import SyntheticDataset, iterate_batches, load_all
 from dpfx.models import DPF
 from dpfx.parallel import create_mesh
 from dpfx.train import Trainer, init_state, make_optimizer, make_train_step
-from tests.conftest import require_mesh8
+from _helpers import require_mesh8
 
 
 def tiny_config(**over):

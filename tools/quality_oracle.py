@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     fake_real = load_all(train_ds, cfg.data.n_points_eval, limit=args.limit, indices=ri)
     labels = test_labels if cfg.data.category == "all" else None
     label_names = getattr(test_ds, "label_names", None)
-    mesh = create_mesh(cfg.parallel.axis_name)
+    mesh = create_mesh(cfg.parallel.axis_name, n_devices=cfg.parallel.data_axis)
     s = ref.shape[0]
     print(f"# oracle: S={s} N={ref.shape[1]} metrics={metrics}")
 
