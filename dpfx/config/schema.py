@@ -162,6 +162,8 @@ class DataConfig:
     #                              shapenet_npy_dir | shapenet_svr
     path: str = ""
     render_path: str = ""        # SVR rendering root (shapenet_svr)
+    views_per_model: int = 24    # renders per model in the 3D-R2N2 tree;
+    #                              VERIFY-vs-reference (SURVEY.md §9.6)
     packed_path: str = ""        # packed [S,N,3] .npy for the native C++ loader
     #                              (tools/pack_dataset.py); train-split only
     category: str = "airplane"   # or "all"
@@ -287,6 +289,20 @@ class ParallelConfig:
 
     data_axis: int = -1          # -1 -> all devices on the data axis
     axis_name: str = "data"
+    # multi-process (multi-host) execution, e.g. one process per v5e host:
+    # jax.distributed.initialize happens at CLI startup when coordinator is
+    # set (or via JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID
+    # env vars). See dpfx/parallel/distributed.py.
+    coordinator: str = ""        # "host:port" of process 0
+    num_processes: int = 0       # 0 -> from env / auto
+    process_id: int = -1         # -1 -> from env / auto
+    # device-resident stack placement on multi-device meshes:
+    #   replicated — every device holds the full split (round-3 behavior;
+    #                fine for one host, 8x HBM waste at v5e-8 scale)
+    #   sharded    — cloud axis sharded over the mesh; batches are
+    #                psum-gathered on device (bit-identical updates,
+    #                ~B*N*3*4-byte all-reduce per step over ICI)
+    resident_sharding: str = "replicated"
     extra: Dict[str, Any] = field(default_factory=dict)
 
 

@@ -81,7 +81,13 @@ class SyntheticSVRDataset:
 
 
 class ShapeNetRenderDataset:
-    """ShapeNet clouds + rendered views (reference SVR data path)."""
+    """ShapeNet clouds + rendered views (reference SVR data path,
+    SURVEY.md §3.5; the 3D-R2N2-style layout is [repo-recall/MED] —
+    VERIFY-vs-reference when the mount appears).
+
+    Pairing: cloud ``cloud_root/<synset>/<split>/<model>.npy`` with renders
+    ``render_root/<synset>/<model>/rendering/<NN>.png``. Models without a
+    render directory are dropped (the public trees are not 1:1)."""
 
     def __init__(
         self,
@@ -90,8 +96,11 @@ class ShapeNetRenderDataset:
         split: str = "train",
         category: str = "airplane",
         normalize: str = "per_shape",
+        stats=None,
         image_size: int = 128,
         views_per_model: int = 24,
+        norm_stats_max_clouds: int = 0,
+        stats_seed: int = 0,
     ):
         try:
             from PIL import Image  # noqa: F401
@@ -100,19 +109,49 @@ class ShapeNetRenderDataset:
         self.normalize = normalize
         self.image_size = image_size
         self.views_per_model = views_per_model
-        syn = SYNSET_IDS.get(category, category)
-        cdir = os.path.join(cloud_root, syn, split)
+        cats = sorted(SYNSET_IDS) if category == "all" else [category]
+        self.label_names = dict(enumerate(cats))
         self.items = []
-        for f in sorted(os.listdir(cdir)) if os.path.isdir(cdir) else []:
-            if not f.endswith(".npy"):
-                continue
-            model = f[:-4]
-            rdir = os.path.join(render_root, syn, model, "rendering")
-            if os.path.isdir(rdir):
-                self.items.append((os.path.join(cdir, f), rdir))
+        self.labels = []
+        for ci, cat in enumerate(cats):
+            syn = SYNSET_IDS.get(cat, cat)
+            cdir = os.path.join(cloud_root, syn, split)
+            for f in sorted(os.listdir(cdir)) if os.path.isdir(cdir) else []:
+                if not f.endswith(".npy"):
+                    continue
+                model = f[:-4]
+                rdir = os.path.join(render_root, syn, model, "rendering")
+                if os.path.isdir(rdir):
+                    self.items.append((os.path.join(cdir, f), rdir))
+                    self.labels.append(ci)
         if not self.items:
             raise FileNotFoundError(
                 f"no paired (cloud, render) items under {cloud_root} / {render_root}"
+            )
+        self.stats = stats
+        if normalize == "global" and stats is None:
+            # stats from the TRAIN split clouds with the same category
+            # filter — every split must normalize in one frame
+            # (dpfx.data.shapenet convention; was a latent crash before
+            # round 4: normalize_cloud raised without stats)
+            from dpfx.data.shapenet import (
+                _stats_row_subset,
+                compute_global_stats_streaming,
+            )
+
+            if split == "train":
+                donor_files = [c for c, _ in self.items]
+            else:
+                donor_files = [
+                    c for c, _ in ShapeNetRenderDataset(
+                        cloud_root, render_root, "train", category,
+                        normalize="none", image_size=image_size,
+                    ).items
+                ]
+            rows = _stats_row_subset(
+                len(donor_files), norm_stats_max_clouds, stats_seed)
+            self.stats = compute_global_stats_streaming(
+                np.load(donor_files[i]) for i in rows
             )
 
     def __len__(self) -> int:
@@ -120,7 +159,10 @@ class ShapeNetRenderDataset:
 
     def __getitem__(self, idx: int) -> np.ndarray:
         x = np.load(self.items[idx][0]).astype(np.float32)
-        return normalize_cloud(x, self.normalize)
+        return normalize_cloud(x, self.normalize, self.stats)
+
+    def label(self, idx: int) -> int:
+        return self.labels[idx]
 
     def image(self, idx: int, view: Optional[int] = None) -> np.ndarray:
         from PIL import Image

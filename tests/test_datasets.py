@@ -114,6 +114,89 @@ def test_shapenet_render_dataset(tmp_path, npy_tree):
     assert img.shape == (64, 64, 3) and 0 <= img.min() and img.max() <= 1.0
 
 
+def test_render_dataset_global_normalization(tmp_path, npy_tree):
+    """global mode threads train-split NormStats (was a crash: round-3
+    VERDICT C3 — normalize_cloud raised without stats on this path)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from dpfx.data import ShapeNetRenderDataset
+
+    render_root = tmp_path / "renders_g"
+    syn = "02691156"
+    rng = np.random.default_rng(0)
+    # renders exist for BOTH splits' models (the npy_tree fixture names
+    # models model{i} in train and test alike — same ids pair to the same
+    # render dir, which is fine for this test's purpose)
+    for i in range(6):
+        d = render_root / syn / f"model{i}" / "rendering"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(
+            rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+        ).save(d / "00.png")
+    tr = ShapeNetRenderDataset(
+        npy_tree, str(render_root), split="train", category="airplane",
+        normalize="global", image_size=32, views_per_model=1,
+    )
+    te = ShapeNetRenderDataset(
+        npy_tree, str(render_root), split="test", category="airplane",
+        normalize="global", image_size=32, views_per_model=1,
+    )
+    # one shared frame: stats computed from the train split in both cases
+    assert tr.stats is not None and te.stats is not None
+    np.testing.assert_allclose(tr.stats.mean, te.stats.mean)
+    assert tr.stats.scale == te.stats.scale
+    # the normalized train split has ~zero mean / ~unit std overall
+    pts = np.concatenate([tr[i] for i in range(len(tr))]).reshape(-1, 3)
+    np.testing.assert_allclose(pts.mean(axis=0), 0, atol=1e-5)
+    # PointFlow frame: ONE scalar std computed around the scalar mean, but
+    # centering is per-axis — post-normalization std is ~1, not exactly 1
+    np.testing.assert_allclose(pts.std(), 1.0, atol=2e-2)
+    assert tr.label(0) == 0 and tr.label_names[0] == "airplane"
+
+
+def test_make_synthetic_shapenet_renders_e2e(tmp_path):
+    """The generator's --renders tree drives the REFERENCE SVR data path
+    end-to-end: build_dataset -> paired batches -> resident preload."""
+    pytest.importorskip("PIL")
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_shapenet import main as make_tree
+
+    cloud_root = str(tmp_path / "clouds")
+    render_root = str(tmp_path / "renders")
+    rc = make_tree([cloud_root, "--train", "10", "--valtest", "4",
+                    "--points", "64", "--family", "v1",
+                    "--renders", render_root, "--views", "2",
+                    "--imgsize", "48"])
+    assert rc == 0
+    cfg = config_from_dict(
+        {"data": {"dataset": "shapenet_svr", "path": cloud_root,
+                  "render_path": render_root, "category": "all",
+                  "normalize": "per_shape", "views_per_model": 2,
+                  "n_points": 32}}
+    ).data
+    ds = build_dataset(cfg, "train", image_size=48)
+    assert len(ds) == 10
+    assert ds[0].shape == (64, 3)
+    img = ds.image(0)
+    assert img.shape == (48, 48, 3) and img.max() <= 1.0
+    # paired host batches (the loader path the trainer consumes)
+    from dpfx.data import iterate_batches
+
+    batch = next(iterate_batches(ds, batch_size=4, n_points=32, seed=0,
+                                 with_images=True))
+    assert batch["x"].shape == (4, 32, 3)
+    assert batch["image"].shape == (4, 48, 48, 3)
+    # device-resident preload of the paired render stack
+    from dpfx.data.device import preload_clouds, preload_images
+
+    clouds = preload_clouds(ds)
+    imgs = preload_images(ds)
+    assert clouds.shape == (10, 64, 3) and imgs.shape == (10, 48, 48, 3)
+
+
 @pytest.fixture(scope="module")
 def h5_with_label_table(tmp_path_factory):
     """H5 fixture whose label ids follow the FILE's own name table — ordered
