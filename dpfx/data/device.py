@@ -27,50 +27,49 @@ from typing import Optional
 import numpy as np
 
 
-def preload_clouds(dataset, limit: Optional[int] = None) -> np.ndarray:
+def _preload(getter, n_items: int, limit: Optional[int], indices,
+             what: str) -> np.ndarray:
+    if indices is not None:
+        rows = [int(i) for i in indices]
+    else:
+        count = n_items if limit is None else min(limit, n_items)
+        rows = list(range(count))
+    if not rows:
+        raise ValueError("cannot preload an empty dataset")
+    first = np.asarray(getter(rows[0]), np.float32)
+    out = np.empty((len(rows),) + first.shape, np.float32)
+    out[0] = first
+    for j, i in enumerate(rows[1:], start=1):
+        x = np.asarray(getter(i), np.float32)
+        if x.shape != first.shape:
+            raise ValueError(
+                f"device-resident preload needs uniform {what} shapes: item "
+                f"{i} is {x.shape}, item {rows[0]} is {first.shape}"
+            )
+        out[j] = x
+    return out
+
+
+def preload_clouds(dataset, limit: Optional[int] = None,
+                   indices=None) -> np.ndarray:
     """Materialize a dataset as one [S, P, 3] float32 stack.
 
     Items carry the dataset-level normalization (``__getitem__`` applies
     it), and P is the STORED cloud size — the per-step subsample to
     ``data.n_points`` happens on device (uniform without replacement,
     matching ``dpfx.data.loader.sample_cloud``). Requires uniform stored
-    cloud sizes; raises otherwise.
-    """
-    count = len(dataset) if limit is None else min(limit, len(dataset))
-    if count == 0:
-        raise ValueError("cannot preload an empty dataset")
-    first = np.asarray(dataset[0], np.float32)
-    out = np.empty((count,) + first.shape, np.float32)
-    out[0] = first
-    for i in range(1, count):
-        x = np.asarray(dataset[i], np.float32)
-        if x.shape != first.shape:
-            raise ValueError(
-                f"device-resident preload needs uniform cloud shapes: item {i} "
-                f"is {x.shape}, item 0 is {first.shape}"
-            )
-        out[i] = x
-    return out
+    cloud sizes; raises otherwise. ``indices`` selects specific rows (the
+    multi-process per-host path loads only its own block —
+    dpfx.parallel.distributed.process_local_rows)."""
+    return _preload(dataset.__getitem__, len(dataset), limit, indices,
+                    "cloud")
 
 
-def preload_images(dataset, limit: Optional[int] = None) -> np.ndarray:
+def preload_images(dataset, limit: Optional[int] = None,
+                   indices=None) -> np.ndarray:
     """Materialize a paired SVR dataset's renders as one [S, H, W, C] f32
     stack (``dataset.image(i)`` — the same deterministic per-index view
     the host loader feeds, so a resident step sees exactly the pairs
     ``iterate_batches(with_images=True)`` would). Requires uniform image
-    shapes; raises otherwise."""
-    count = len(dataset) if limit is None else min(limit, len(dataset))
-    if count == 0:
-        raise ValueError("cannot preload an empty dataset")
-    first = np.asarray(dataset.image(0), np.float32)
-    out = np.empty((count,) + first.shape, np.float32)
-    out[0] = first
-    for i in range(1, count):
-        img = np.asarray(dataset.image(i), np.float32)
-        if img.shape != first.shape:
-            raise ValueError(
-                f"device-resident preload needs uniform image shapes: item {i} "
-                f"is {img.shape}, item 0 is {first.shape}"
-            )
-        out[i] = img
-    return out
+    shapes; raises otherwise. ``indices`` as in :func:`preload_clouds`."""
+    return _preload(dataset.image, len(dataset), limit, indices, "image")

@@ -35,9 +35,20 @@ def iterate_batches(
     epochs: Optional[int] = None,
     with_labels: bool = False,
     with_images: bool = False,
+    batch_shard: Optional[tuple] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yields {"x": [B, n_points, 3]} batches (plus "image" [B,H,W,3] for
-    SVR datasets), reshuffled every epoch."""
+    SVR datasets), reshuffled every epoch.
+
+    ``batch_shard=(start, stop)`` is the multi-process (per-host) mode:
+    every process walks the SAME seeded epoch permutation but loads only
+    rows [start, stop) of each global batch — its devices' contiguous
+    slice (dpfx.parallel.distributed.process_local_rows) — so a host
+    touches only ~B/P items per step and the assembled global batch is
+    identical to the single-process one. (The per-item point subsample
+    consumes each process's rng in local order, so with stored_size !=
+    n_points the subsample stream differs from single-process — same
+    distribution, different draws.)"""
     if drop_last and len(dataset) < batch_size:
         raise ValueError(
             f"dataset has {len(dataset)} items < batch_size {batch_size} with "
@@ -54,6 +65,10 @@ def iterate_batches(
             idx = order[s : s + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
+            if batch_shard is not None:
+                idx = idx[batch_shard[0]:batch_shard[1]]
+                if idx.size == 0:
+                    continue
             clouds = np.stack([sample_cloud(dataset[int(i)], n_points, rng) for i in idx])
             batch = {"x": clouds}
             if with_images and hasattr(dataset, "image"):

@@ -4,5 +4,22 @@ from dpfx.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from dpfx.parallel.distributed import (
+    global_batch,
+    initialize_distributed,
+    initialize_from_config,
+    process_local_rows,
+    shard_resident_stack,
+)
 
-__all__ = ["create_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "global_batch",
+    "initialize_distributed",
+    "initialize_from_config",
+    "process_local_rows",
+    "shard_resident_stack",
+]

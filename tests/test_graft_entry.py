@@ -37,15 +37,17 @@ def test_dryrun_multichip_bootstraps_from_single_device():
         cwd=REPO,
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1200,  # includes the 2-process pod leg (round 4)
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "dryrun_multichip(8) OK" in proc.stdout, (proc.stdout, proc.stderr)
 
 
-def test_dryrun_multichip_direct_on_virtual_mesh():
+def test_dryrun_multichip_direct_on_virtual_mesh(monkeypatch):
     """When the process already has >= n devices (the conftest 8-CPU mesh),
-    the check runs inline with no subprocess."""
+    the check runs inline with no subprocess. The 2-process pod leg is
+    skipped here — tests/test_multiprocess.py covers it directly."""
+    monkeypatch.setenv("DPFX_DRYRUN_MULTIPROC", "0")
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(4)

@@ -1,0 +1,138 @@
+"""Multi-process (multi-host) execution tests (round-3 VERDICT item 1):
+a 2-process x 4-device local CPU "pod" stitched by jax.distributed must
+produce the SAME losses as the single-process 8-device mesh — process
+topology is an implementation detail, the global mesh semantics are not.
+
+The workers run tests/mp_worker.py with per-host data loading (each
+process materializes only its own row block of the split) and the
+resident-sharded data path (parallel.resident_sharding=sharded)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from _helpers import require_mesh8
+from dpfx.config import config_from_dict
+from dpfx.data import SyntheticDataset, preload_clouds
+from dpfx.train import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _run_pod(n_procs: int, dpp: int, ckpt_dir: str, timeout: int = 600,
+             mode: str = "resident"):
+    """Spawn the worker pod; returns the parsed JSON line of each process."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(pid), str(n_procs), str(port),
+             str(dpp), ckpt_dir, mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        )
+        for pid in range(n_procs)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_pod_matches_single_process(tmp_path):
+    """2 procs x 4 devices == 1 proc x 8 devices, loss-for-loss: same
+    config, same logical split, per-host loading on the pod side."""
+    # single-process reference on this process's 8-device mesh
+    cfg = config_from_dict({
+        "experiment": "gen",
+        "name": "mp_worker",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+        "data": {"dataset": "synthetic", "n_points": 64,
+                 "synthetic_size": 48, "device_resident": True},
+        "parallel": {"resident_sharding": "sharded"},
+        "train": {"batch_size": 16, "steps": 6, "steps_per_call": 3,
+                  "lr": 1e-3, "log_every": 3, "ckpt_every": 1000,
+                  "eval_every": 1000, "ckpt_dir": str(tmp_path / "single")},
+    })
+    tr = Trainer(cfg, log_fn=lambda *a, **k: None)
+    require_mesh8(tr.mesh)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    tr.fit_resident(preload_clouds(ds))
+    single_losses = [h["loss"] for h in tr.history]
+    assert len(single_losses) == 2  # 6 steps / log_every 3
+
+    outs = _run_pod(2, 4, str(tmp_path / "pod"))
+    for out in outs:
+        assert out["final_step"] == 6
+        np.testing.assert_allclose(out["losses"], single_losses, rtol=1e-5,
+                                   err_msg=f"process {out['pid']}")
+
+
+@pytest.mark.slow
+def test_two_process_hostfed_matches_single_process(tmp_path):
+    """Host-fed path: per-host loaders (iterate_batches batch_shard) feed
+    the same global batches the single-process loader assembles, so the
+    losses match; also exercises multi-process evaluate with a ragged
+    batch (12 clouds on an 8-device mesh)."""
+    from dpfx.data import iterate_batches
+
+    cfg = config_from_dict({
+        "experiment": "gen",
+        "name": "mp_worker",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+        "data": {"dataset": "synthetic", "n_points": 64,
+                 "synthetic_size": 48},
+        "train": {"batch_size": 16, "steps": 6, "steps_per_call": 3,
+                  "lr": 1e-3, "log_every": 3, "ckpt_every": 1000,
+                  "eval_every": 1000, "ckpt_dir": str(tmp_path / "single")},
+    })
+    tr = Trainer(cfg, log_fn=lambda *a, **k: None)
+    require_mesh8(tr.mesh)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    tr.fit(iterate_batches(ds, 16, 64, seed=cfg.train.seed))
+    single_losses = [h["loss"] for h in tr.history]
+    val_ds = SyntheticDataset(size=12, n_stored=64, split="val")
+    single_val = tr.evaluate(iterate_batches(
+        val_ds, 16, 64, seed=0, shuffle=False, epochs=1, drop_last=False))
+
+    outs = _run_pod(2, 4, str(tmp_path / "pod"), mode="hostfed")
+    for out in outs:
+        assert out["final_step"] == 6
+        np.testing.assert_allclose(out["losses"], single_losses, rtol=1e-5,
+                                   err_msg=f"process {out['pid']}")
+        for k, v in single_val.items():
+            np.testing.assert_allclose(out["val"][k], v, rtol=1e-4,
+                                       err_msg=f"val {k}")

@@ -21,7 +21,7 @@ from dpfx.train import (
     make_train_step,
 )
 from dpfx.train.trainer import _resident_draw
-from tests.conftest import require_mesh8
+from _helpers import require_mesh8
 
 
 def tiny_config(**over):
@@ -361,3 +361,132 @@ def test_resident_stored_smaller_than_n_points():
     trainer = Trainer(cfg)
     trainer.fit_resident(_data(s=48, p=32))  # P=32 < n_points=64
     assert np.isfinite(trainer.history[-1]["loss"])
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_resident_data_sharded_matches_single(fused):
+    """parallel.resident_sharding=sharded: the cloud stack sharded over the
+    mesh (S/D rows per device, psum-gathered batches) must produce updates
+    BIT-equivalent to the single-device resident path — same global
+    index/noise streams, exact gather. Covers padding (S=40 not divisible
+    by 8) and the on-device point subsample (P=100 != N)."""
+    from dpfx.parallel import shard_resident_stack
+
+    cfg = tiny_config(
+        data={"n_points": 32},
+        train={"fused_point_flow": fused, "fused_encoder": fused},
+    )
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(1)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data(s=40, p=100)
+
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2)
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    data_g = shard_resident_stack(data, mesh)
+    assert data_g.shape[0] == 40  # padded to a device multiple
+    multi_sharded = make_resident_multi_step(
+        model, tx, cfg, mesh, 2, data_sharded=True, logical_rows=40)
+    s0, m0 = multi_single(s0, jnp.asarray(data), rng)
+    s1, m1 = multi_sharded(s1, data_g, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_resident_data_sharded_padding():
+    """S=42 pads to 48 on the 8-device mesh; padded rows are never drawn
+    (the draw indexes [0, S)), so results still match single-device."""
+    from dpfx.parallel import shard_resident_stack
+    from dpfx.parallel.distributed import padded_rows
+
+    assert padded_rows(42, 8) == 48
+    cfg = tiny_config(data={"n_points": 64})
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(7)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data(s=42, p=64, seed=2)
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    data_g = shard_resident_stack(data, mesh)
+    assert data_g.shape[0] == 48
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2)
+    multi_sharded = make_resident_multi_step(
+        model, tx, cfg, mesh, 2, data_sharded=True, logical_rows=42)
+    s0, m0 = multi_single(s0, jnp.asarray(data), rng)
+    s1, m1 = multi_sharded(s1, data_g, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+
+
+def test_resident_data_sharded_svr_images():
+    """SVR paired stacks: the render stack shards on the same cloud axis
+    and the psum-gathered (cloud, image) pairing matches the replicated
+    path exactly."""
+    from dpfx.parallel import shard_resident_stack
+
+    cfg = tiny_config(
+        experiment="svr",
+        data={"dataset": "synthetic_svr", "n_points": 64},
+        model={"image_encoder": {"arch": "mixer", "image_size": 16,
+                                 "patch": 8, "dim": 32, "depth": 1}},
+    )
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(5)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data(s=24, p=64, seed=3)
+    imgs = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(9), (24, 16, 16, 3)),
+        np.float32)
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2,
+                                            with_images=True)
+    multi_sharded = make_resident_multi_step(
+        model, tx, cfg, mesh, 2, with_images=True, data_sharded=True,
+        logical_rows=24)
+    s0, m0 = multi_single(s0, jnp.asarray(data), jnp.asarray(imgs), rng)
+    s1, m1 = multi_sharded(
+        s1, shard_resident_stack(data, mesh), shard_resident_stack(imgs, mesh),
+        rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+    # params: the pmean's 8-way reduction order differs from the
+    # single-device batch sum, and Adam's 1/(sqrt(v)+eps) at near-zero
+    # image-encoder moments amplifies that fp noise to ~0.4% relative
+    # after 2 steps — the losses above pin the gather itself
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=6e-3,
+                                   atol=1e-6)
+
+
+def test_fit_resident_sharded_via_config(tmp_path):
+    """Trainer.fit_resident with parallel.resident_sharding=sharded runs
+    end-to-end on the mesh and matches the replicated config's losses."""
+    over = {"train": {"ckpt_dir": str(tmp_path / "a"), "steps": 6,
+                      "steps_per_call": 3}}
+    cfg_r = tiny_config(**over)
+    tr_r = Trainer(cfg_r, log_fn=lambda *a, **k: None)
+    require_mesh8(tr_r.mesh)
+    cfg_s = tiny_config(
+        parallel={"resident_sharding": "sharded"},
+        train={"ckpt_dir": str(tmp_path / "b"), "steps": 6,
+               "steps_per_call": 3})
+    tr_s = Trainer(cfg_s, log_fn=lambda *a, **k: None)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    clouds = preload_clouds(ds)
+    tr_r.fit_resident(clouds)
+    tr_s.fit_resident(clouds)
+    assert int(tr_s.state.step) == 6
+    np.testing.assert_allclose(
+        [h["loss"] for h in tr_s.history],
+        [h["loss"] for h in tr_r.history], rtol=1e-5)

@@ -25,6 +25,13 @@ def main(argv=None) -> int:
 
     cfg = load_config(args.config, strict=args.strict_config, overrides=args.overrides)
 
+    # multi-process (one process per host on a pod): must run before the
+    # first device access; no-op unless parallel.coordinator or the
+    # JAX_COORDINATOR_ADDRESS env var is set
+    from dpfx.parallel.distributed import initialize_from_config
+
+    initialize_from_config(cfg.parallel)
+
     from dpfx.data import build_dataset, iterate_batches
     from dpfx.train import Trainer
 
@@ -57,17 +64,35 @@ def main(argv=None) -> int:
     if cfg.data.device_resident:
         # TPU-native data path: the whole split lives in HBM; batching
         # happens on device inside the dispatched call (dpfx/data/device.py).
-        # SVR preloads the paired render stack too.
+        # SVR preloads the paired render stack too. On a multi-process pod
+        # with parallel.resident_sharding=sharded, each process loads ONLY
+        # its own padded row block (per-host loading) and the stack's cloud
+        # axis is sharded over the global mesh.
         from dpfx.data.device import preload_clouds, preload_images
 
-        clouds = preload_clouds(train_ds)
-        images = preload_images(train_ds) if svr else None
-        print(f"[dpfx] device-resident split: {clouds.shape[0]} clouds x "
-              f"{clouds.shape[1]} stored pts "
-              f"({clouds.nbytes / 1e6:.0f} MB -> HBM)"
-              + (f" + renders ({images.nbytes / 1e6:.0f} MB)" if svr else ""))
+        resident_kwargs = {}
+        if trainer.multiprocess and cfg.parallel.resident_sharding == "sharded":
+            from dpfx.parallel.distributed import process_local_rows
+
+            s_logical = len(train_ds)
+            start, stop = process_local_rows(s_logical, trainer.mesh)
+            rows = [g % s_logical for g in range(start, stop)]
+            clouds = preload_clouds(train_ds, indices=rows)
+            images = preload_images(train_ds, indices=rows) if svr else None
+            resident_kwargs = dict(clouds_are_local_shard=True,
+                                   logical_rows=s_logical)
+            print(f"[dpfx] per-host resident block: rows [{start}, {stop}) "
+                  f"of {s_logical} ({clouds.nbytes / 1e6:.0f} MB/host)")
+        else:
+            clouds = preload_clouds(train_ds)
+            images = preload_images(train_ds) if svr else None
+            print(f"[dpfx] device-resident split: {clouds.shape[0]} clouds x "
+                  f"{clouds.shape[1]} stored pts "
+                  f"({clouds.nbytes / 1e6:.0f} MB -> HBM)"
+                  + (f" + renders ({images.nbytes / 1e6:.0f} MB)"
+                     if svr else ""))
         trainer.fit_auto(resident_clouds=clouds, resident_images=images,
-                         val_batches_fn=val_batches)
+                         val_batches_fn=val_batches, **resident_kwargs)
         if trainer.last_eval_step != int(trainer.state.step):
             trainer.evaluate(val_batches())
         print(f"[dpfx] done at step {int(trainer.state.step)}; "
@@ -97,9 +122,16 @@ def main(argv=None) -> int:
         # recovery (train.recover_on_divergence)
         if native_batcher is not None:
             return iter(native_batcher)
+        shard = None
+        if trainer.multiprocess:
+            # per-host feeding: each process loads only its devices' slice
+            # of every global batch (dpfx/data/loader.py batch_shard)
+            from dpfx.parallel.distributed import process_local_rows
+
+            shard = process_local_rows(cfg.train.batch_size, trainer.mesh)
         batches = iterate_batches(
             train_ds, cfg.train.batch_size, cfg.data.n_points,
-            seed=cfg.train.seed, with_images=svr,
+            seed=cfg.train.seed, with_images=svr, batch_shard=shard,
         )
         if cfg.data.num_workers > 0:
             from dpfx.data import prefetch_batches
