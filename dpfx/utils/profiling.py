@@ -65,6 +65,32 @@ def chain_time_ms(step_fn: Callable, carry, reps: int = 30) -> float:
     return dt
 
 
+def chain_cost_per_step(step_fn: Callable, carry, reps: int = 30):
+    """(flops, bytes_accessed) of ONE step of the chain-v2 scan body, from
+    XLA's own cost analysis — the absolute denominator for MFU / bandwidth-
+    utilization reporting (round-3 VERDICT: vs_baseline alone was
+    self-referential). The step is compiled standalone rather than inside
+    the scan: XLA's cost model counts a while-loop body ONCE regardless of
+    trip count, so analyzing the chain and dividing by ``reps`` undercounts
+    by ~reps (verified on CPU). ``reps`` is accepted for signature symmetry
+    with chain_time_ms and ignored. Returns (None, None) when the backend
+    exposes no cost model."""
+    del reps
+    import jax.numpy as jnp
+
+    try:
+        compiled = jax.jit(step_fn).lower(
+            carry, jnp.zeros((), jnp.int32)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = ca.get("flops")
+        bytes_acc = ca.get("bytes accessed")
+        return (flops or None, bytes_acc or None)
+    except Exception:
+        return None, None
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/dpfx_trace"):
     """jax.profiler trace context; view with tensorboard/xprof."""
