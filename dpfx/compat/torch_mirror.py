@@ -290,3 +290,57 @@ class DPFMirror(nn.Module):
         g = torch.Generator().manual_seed(seed)
         for p in self.parameters():
             p.add_(0.05 * torch.randn(p.shape, generator=g))
+
+
+def gaussian_logprob_torch(x, mu, logvar):
+    """torch twin of dpfx.models.dpf.gaussian_logprob (sum over last axis)."""
+    return -0.5 * (
+        logvar + math.log(2.0 * math.pi) + (x - mu) ** 2 * torch.exp(-logvar)
+    ).sum(-1)
+
+
+def elbo_loss_torch(mirror: "DPFMirror", x, eps, kl_weight: float = 1.0,
+                    recon_reduction: str = "sum_points"):
+    """torch twin of dpfx.train.loss.elbo_loss (point modality), with the
+    reparameterization noise ``eps`` supplied so the JAX and torch
+    trajectories share one random stream. Used by the end-to-end
+    training-trajectory oracle (round-3 VERDICT item 6): per-module parity
+    tests can't catch gradient-convention drift; ~20 identical Adam steps
+    on both frameworks can."""
+    mu, logvar = mirror.encoder(x)
+    z = mu + torch.exp(0.5 * logvar) * eps
+    logq = gaussian_logprob_torch(z, mu, logvar)
+    logp_z = mirror.latent_flow.log_prob(z)
+    recon_ll = mirror.point_flow.log_prob(x, z).sum(-1)
+    n = x.shape[-2]
+    kl = logq - logp_z
+    if recon_reduction == "mean_points":
+        recon = recon_ll / n
+        kl_scaled = kl / n
+    elif recon_reduction == "sum_points":
+        recon, kl_scaled = recon_ll, kl
+    else:
+        raise ValueError(recon_reduction)
+    return (-(recon - kl_weight * kl_scaled)).mean()
+
+
+def train_trajectory_torch(mirror: "DPFMirror", batches, eps_list,
+                           lr: float = 1e-3, kl_weight: float = 1.0,
+                           recon_reduction: str = "sum_points"):
+    """Adam trajectory oracle: one optimizer step per (batch, eps) pair,
+    returning the per-step losses. Hyperparameters mirror optax.adam's
+    defaults (betas 0.9/0.999, eps 1e-8, no weight decay) — the JAX side
+    must be configured with lr_schedule=constant, no warmup, grad_clip=0
+    for the comparison to be exact."""
+    opt = torch.optim.Adam(mirror.parameters(), lr=lr, betas=(0.9, 0.999),
+                           eps=1e-8)
+    losses = []
+    for x, eps in zip(batches, eps_list):
+        opt.zero_grad()
+        loss = elbo_loss_torch(mirror, torch.as_tensor(x),
+                               torch.as_tensor(eps), kl_weight,
+                               recon_reduction)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses

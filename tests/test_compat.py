@@ -216,3 +216,54 @@ def test_save_as_orbax_never_deletes_existing_steps(tmp_path):
     save_as_orbax({"w": np.zeros((2,), np.float32)}, d, step=0)
     steps = sorted(CheckpointManager(d).manager.all_steps())
     assert steps == [0, 100, 200, 300], steps
+
+
+@pytest.mark.parametrize("reduction", ["sum_points", "mean_points"])
+def test_training_trajectory_parity(reduction):
+    """End-to-end gradient/optimizer oracle (round-3 VERDICT item 6): ~20
+    Adam steps on identical batches + noise must produce the same loss
+    trajectory in torch and JAX. Per-module parity tests can't catch
+    gradient-convention drift (reduction scaling, KL sign, optimizer
+    hyperparameters); this does."""
+    import dataclasses
+
+    from dpfx.compat.torch_mirror import train_trajectory_torch
+    from dpfx.train import TrainState, init_state, make_optimizer, make_train_step
+
+    cfg = tiny_config()
+    cfg.train = dataclasses.replace(
+        cfg.train, lr=1e-3, lr_schedule="constant", lr_warmup_steps=0,
+        grad_clip=0.0, weight_decay=0.0, flat_optimizer=False,
+        recon_reduction=reduction, skip_nonfinite_updates=False)
+    mirror = DPFMirror(cfg)
+    mirror.randomize_(seed=11)
+    params = convert_state_dict(mirror.state_dict())
+
+    steps = 20
+    rng = np.random.default_rng(7)
+    batches = [rng.normal(size=(8, 32, 3)).astype(np.float32) * 0.5
+               for _ in range(steps)]
+    eps_list = [rng.normal(size=(8, cfg.model.dz)).astype(np.float32)
+                for _ in range(steps)]
+
+    torch_losses = train_trajectory_torch(
+        mirror, batches, eps_list, lr=1e-3, recon_reduction=reduction)
+
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step_fn = make_train_step(model, tx, cfg, mesh=None)
+    key = jax.random.PRNGKey(0)
+    jax_losses = []
+    for x, eps in zip(batches, eps_list):
+        state, m = step_fn(state, {"x": jnp.asarray(x),
+                                   "eps": jnp.asarray(eps)}, key)
+        jax_losses.append(float(m["loss"]))
+
+    # f32 noise compounds over 20 optimizer steps; the trajectories must
+    # stay within a fraction of a percent throughout
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=5e-3,
+                               err_msg=f"reduction={reduction}")
+    # and tightly at the start (catches any systematic convention drift)
+    np.testing.assert_allclose(jax_losses[:3], torch_losses[:3], rtol=3e-4)
