@@ -188,6 +188,9 @@ class DataConfig:
     synthetic_family: str = "v1"  # v1 (sphere/box/blobs golden-fixture family)
     #                               | v2 (continuous rotated-surface family for
     #                               generalization-quality runs)
+    #                               | v3 (compositional multi-part family:
+    #                               variable part counts + thin structures;
+    #                               round-4 quality benchmark — v2 saturated)
     extra: Dict[str, Any] = field(default_factory=dict)
 
 
