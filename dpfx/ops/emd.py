@@ -68,6 +68,17 @@ import os as _os
 # dcache on — zero drift, small win, and the scratch fits under 32M.
 EMD_DCACHE = _os.environ.get("DPFX_EMD_DCACHE", "1") == "1"
 EMD_VMEM_MB = int(_os.environ.get("DPFX_EMD_VMEM_MB", "32"))
+# Round-4 (VERDICT item 3): the EXACT pairwise path — the mode the
+# "bit-compatible CD/EMD" parity protocol actually runs — used to redo the
+# HIGHEST-precision (3-pass bf16) distance matmul AND the exp weights in
+# BOTH tile passes of every annealing level. With the caches on, the f32
+# distance matrix is computed ONCE (same values — HIGHEST matmul on the
+# same operands — so results are bit-identical) and pass 2 reads the f32
+# ss tile cached by pass 1 instead of recomputing exp: the level loop
+# contains no matmuls at all. Costs 2 x [Np, Mp] f32 VMEM scratch (32 MB
+# at N=2048), hence the raised exact-mode vmem limit.
+EMD_EXACT_CACHE = _os.environ.get("DPFX_EMD_EXACT_CACHE", "1") == "1"
+EMD_EXACT_VMEM_MB = int(_os.environ.get("DPFX_EMD_EXACT_VMEM_MB", "56"))
 
 
 def match_levels(n_iters: int = _DEFAULT_ITERS) -> List[float]:
@@ -164,7 +175,8 @@ def _emd_kernel_body(
                 body(i, 0)
         else:
             jax.lax.fori_loop(0, nt, body, 0, unroll=False)
-    (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache, gx, gy) = scratches
+    (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache, sscache,
+     gx, gy) = scratches
     nt = n_pad // tn
     factorl = float(max(n, m) / n)
     factorr = float(max(n, m) / m)
@@ -184,7 +196,15 @@ def _emd_kernel_body(
     ones_m = jnp.ones((m_pad, 1), jnp.bfloat16)
     ones_tn = jnp.ones((1, tn), jnp.bfloat16)
 
+    exact_cached = exact and dcache is not None
+
     def d_tile(i):
+        # exact d-cache: the HIGHEST matmul ran once in the prefill on the
+        # same operands, so reading the f32 cache is bit-identical to
+        # recomputing (round-4 exact-mode speedup)
+        if exact_cached:
+            xt = x_ref[0, pl.ds(i * tn, tn), :]
+            return xt, dcache[pl.ds(i * tn, tn), :]
         # slice the ref (VMEM read): value-level dynamic_slice has no Mosaic
         # lowering
         xt = x_ref[0, pl.ds(i * tn, tn), :]  # [TN, 8]
@@ -208,14 +228,22 @@ def _emd_kernel_body(
 
     if dcache is not None:
         # fill the distance cache ONCE; every annealing level then reads it
-        # instead of redoing the distance matmul (fast mode only)
+        # instead of redoing the distance matmul. Fast mode caches bf16
+        # from the single-pass bf16 matmul; exact mode caches the f32
+        # HIGHEST result (bit-identical to recomputing per level).
         def pfill(i, _):
             xt = x_ref[0, pl.ds(i * tn, tn), :]
             x2 = jnp.sum(xt * xt, axis=-1, keepdims=True)
-            xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
-                         preferred_element_type=jnp.float32)
-            dcache[pl.ds(i * tn, tn), :] = jnp.maximum(
-                x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
+            if exact_cached:
+                xy = jnp.dot(xt, y.T, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                dcache[pl.ds(i * tn, tn), :] = jnp.maximum(
+                    x2 + y2 - 2.0 * xy, 0.0)
+            else:
+                xy = jnp.dot(xt.astype(jnp.bfloat16), y_bf.T,
+                             preferred_element_type=jnp.float32)
+                dcache[pl.ds(i * tn, tn), :] = jnp.maximum(
+                    x2 + y2 - 2.0 * xy, 0.0).astype(jnp.bfloat16)
             return 0
 
         tile_loop(pfill)
@@ -235,6 +263,10 @@ def _emd_kernel_body(
             rs = jnp.sum(w, axis=1, keepdims=True)
             rowsum[pl.ds(i * tn, tn), :] = rs
             ss = w / (rs + _EPS) * remainl[pl.ds(i * tn, tn), :]
+            if sscache is not None:
+                # pass 2 reads this f32 ss verbatim — bit-identical to the
+                # recompute it replaces (same inputs, same op sequence)
+                sscache[pl.ds(i * tn, tn), :] = ss
             colsum[:] = colsum[:] + jnp.sum(ss, axis=0, keepdims=True)
             cdist[:] = cdist[:] + jnp.sum(ss * jnp.sqrt(d), axis=0, keepdims=True)
             return 0
@@ -279,6 +311,17 @@ def _emd_kernel_body(
                 return 0
 
             tile_loop(p2)
+        elif sscache is not None and not with_grad:
+            # exact + ss-cache: delta = cached ss * ratio; no exp, no matmul
+            def p2c(i, _):
+                sl = pl.ds(i * tn, tn)
+                delta = sscache[sl, :] * ratio
+                remainl[sl, :] = jnp.maximum(
+                    remainl[sl, :] - jnp.sum(delta, axis=1, keepdims=True), 0.0
+                )
+                return 0
+
+            tile_loop(p2c)
         else:
             # exact / gradient pass: recompute w (f32), apply delta
             def p2g(i, _):
@@ -333,7 +376,8 @@ def _emd_pallas_batched(
             gx, gy = rest.pop(0), rest.pop(0)
         _emd_kernel_body(
             x_ref, y_ref,
-            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None, gx, gy),
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, None,
+             None, gx, gy),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=with_grad, exact=not use_cache,
             unroll_tiles=unroll_tiles,
@@ -403,18 +447,21 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
     s2_pad = _round_up(s2, 128)
 
     use_dcache = EMD_DCACHE and not exact
+    use_exact_cache = EMD_EXACT_CACHE and exact
 
     def kernel(x_ref, y_ref, cost_ref, *rest):
         rest = list(rest)
         remainl, remainr, rowsum, colsum, cdist, cost = rest[:6]
         rest = rest[6:]
         wcache = rest.pop(0) if not exact else None
-        dcache = rest.pop(0) if use_dcache else None
+        dcache = rest.pop(0) if (use_dcache or use_exact_cache) else None
+        sscache = rest.pop(0) if use_exact_cache else None
         costrow = rest.pop(0)
         b_ = pl.program_id(1)
         _emd_kernel_body(
             x_ref, y_ref,
-            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache, None, None),
+            (remainl, remainr, rowsum, colsum, cdist, cost, wcache, dcache,
+             sscache, None, None),
             n=n, m=m, tn=tn, n_pad=n_pad, m_pad=m_pad,
             n_iters=n_iters, with_grad=False, exact=exact,
             unroll_tiles=unroll_tiles,
@@ -445,10 +492,14 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
         ]
         + ([] if exact else [pltpu.VMEM((n_pad, m_pad), jnp.bfloat16)])
         + ([pltpu.VMEM((n_pad, m_pad), jnp.bfloat16)] if use_dcache else [])
+        + ([pltpu.VMEM((n_pad, m_pad), jnp.float32),   # exact d cache (f32)
+            pltpu.VMEM((n_pad, m_pad), jnp.float32)]   # exact ss cache (f32)
+           if use_exact_cache else [])
         + [pltpu.VMEM((1, s2_pad), jnp.float32)],
         interpret=_interpret(),
         **({"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=EMD_VMEM_MB * 1024 * 1024)}
+            vmem_limit_bytes=(EMD_EXACT_VMEM_MB if use_exact_cache
+                              else EMD_VMEM_MB) * 1024 * 1024)}
            if EMD_VMEM_MB and not _interpret() else {}),
     )(xp, yp)
     return out[:, 0, :s2]

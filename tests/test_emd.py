@@ -122,3 +122,26 @@ def test_emd_pairwise_matches_diag():
     # execution differences compound through the annealing recursion
     m_f = np.asarray(emd_pairwise(xs, ys, impl="pallas", precision="fast"))
     np.testing.assert_allclose(m_f, m_j, rtol=2e-2, atol=1e-3)
+
+
+def test_exact_cache_bit_identical():
+    """Round-4 exact-mode speedup (f32 d-cache + ss-cache): the cached
+    kernel must be BIT-identical to the uncached exact path — the caches
+    only reuse values the uncached path recomputes with the same ops."""
+    import importlib
+
+    E = importlib.import_module("dpfx.ops.emd")
+    rng = np.random.default_rng(4)
+    xs = jnp.asarray(rng.normal(size=(3, 96, 3)).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(4, 100, 3)).astype(np.float32))
+    assert E.EMD_EXACT_CACHE  # default on
+    m_cached = np.asarray(E.emd_pairwise(xs, ys, impl="pallas",
+                                         precision="exact"))
+    old = E.EMD_EXACT_CACHE
+    try:
+        E.EMD_EXACT_CACHE = False
+        m_plain = np.asarray(E.emd_pairwise(xs, ys, impl="pallas",
+                                            precision="exact"))
+    finally:
+        E.EMD_EXACT_CACHE = old
+    np.testing.assert_array_equal(m_cached, m_plain)
