@@ -182,6 +182,8 @@ class DataConfig:
     # steady state (dpfx/data/device.py). Point-modality experiments with
     # splits that fit HBM (ShapeNet airplane @ 15k pts ~ 0.5 GB).
     device_resident: bool = False
+    resident_draw: str = "iid"   # iid | epoch (host-loader/reference epoch
+    #                              permutation semantics, derived on device)
     # synthetic dataset controls (tests / smoke configs)
     synthetic_size: int = 256
     synthetic_modes: int = 4

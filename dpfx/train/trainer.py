@@ -286,7 +286,7 @@ def make_multi_step(
 
 
 def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
-                   p: int, n: int, dz: int):
+                   p: int, n: int, dz: int, draw: str = "iid"):
     """Per-step batch indices + reparameterization noise for the
     device-resident data path, for the K steps starting at ``start_step``.
 
@@ -295,20 +295,37 @@ def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
     ABSOLUTE step into the key, so streams are resume-stable; ``eps`` uses
     the exact recipe of the in-step draw (fold_in(rng, step) -> normal),
     so a resident step is bit-identical to the host-fed step on the same
-    batch. Cloud choice is i.i.d. uniform per step (the host loader walks
-    epoch permutations instead — VERIFY-vs-reference; immaterial for the
-    i.i.d. ELBO objective at these split sizes). The point subsample is
-    uniform WITHOUT replacement — top-N of per-point uniform keys —
-    matching ``dpfx.data.loader.sample_cloud``, including its
-    with-replacement fallback when the stored cloud is smaller than
-    n_points."""
+    batch. Cloud choice (``draw``):
+      * "iid" (default) — i.i.d. uniform per step. Immaterial for the
+        i.i.d. ELBO objective at these split sizes, but loss curves are
+        not step-comparable with the host loader's epoch walk.
+      * "epoch" — the host-loader convention (and the reference's,
+        SURVEY.md §3.1): a fresh on-device permutation of the split per
+        epoch, walked in batches of B with the ragged tail dropped
+        (s // b batches per epoch), epoch id derived from the absolute
+        step. Same SEMANTICS as dpfx.data.loader.iterate_batches; the
+        permutation stream itself is jax's, not numpy's.
+    The point subsample is uniform WITHOUT replacement — top-N of
+    per-point uniform keys — matching ``dpfx.data.loader.sample_cloud``,
+    including its with-replacement fallback when the stored cloud is
+    smaller than n_points."""
     drng = jax.random.fold_in(rng, 0x0DA7A)  # independent of the step rng
     steps_v = start_step + jnp.arange(k)
+    bpe = max(s // b, 1)  # batches per epoch (host loader drops the tail)
 
     def one(sv):
         key = jax.random.fold_in(drng, sv)
         kc, kp = jax.random.split(key)
-        ci = jax.random.randint(kc, (b,), 0, s)
+        if draw == "epoch":
+            epoch = sv // bpe
+            pos = (sv % bpe) * b
+            perm = jax.random.permutation(
+                jax.random.fold_in(drng, 0x0E90C + epoch), s)
+            # modular gather == dynamic_slice for pos+b <= s (always true
+            # when b <= s) and stays in-bounds for tiny b > s splits
+            ci = jnp.take(perm, (pos + jnp.arange(b)) % s)
+        else:
+            ci = jax.random.randint(kc, (b,), 0, s)
         if p < n:
             # stored clouds smaller than n_points: uniform WITH replacement,
             # matching sample_cloud's replace=True fallback (m < n_points)
@@ -368,6 +385,7 @@ def make_resident_multi_step(
     dz = cfg.model.dz
     multi_device = mesh is not None and mesh.devices.size > 1
     axis = cfg.parallel.axis_name
+    draw_mode = cfg.data.resident_draw
     fused_sharded = multi_device and (
         tcfg.fused_point_flow or tcfg.fused_encoder or tcfg.fused_latent_flow)
     data_sharded = data_sharded and multi_device
@@ -414,7 +432,8 @@ def make_resident_multi_step(
     if not multi_device:
         def entry_single(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
-            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n,
+                                         dz, draw=draw_mode)
             return multi(state, data, images, ci, pi, eps, rng)
 
         return jax.jit(wrap(entry_single), donate_argnums=0)
@@ -473,7 +492,8 @@ def make_resident_multi_step(
                                rng: Array):
             p = data.shape[1]
             ci, pi, eps = _resident_draw(
-                rng, state.step, k, b, logical_rows, p, n, dz)
+                rng, state.step, k, b, logical_rows, p, n, dz,
+                draw=draw_mode)
             return sharded(state, data, images, ci, pi, eps, rng)
 
         return jax.jit(wrap(entry_sharded_data), donate_argnums=0)
@@ -489,14 +509,16 @@ def make_resident_multi_step(
 
         def entry_fused(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
-            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz,
+                                         draw=draw_mode)
             return sharded(state, data, images, ci, pi, eps, rng)
 
         return jax.jit(wrap(entry_fused), donate_argnums=0)
 
     def entry_pjit(state: TrainState, data: Array, images, rng: Array):
         s, p = data.shape[0], data.shape[1]
-        ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz)
+        ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz,
+                                     draw=draw_mode)
         return multi(state, data, images, ci, pi, eps, rng)
 
     repl = NamedSharding(mesh, P())

@@ -490,3 +490,35 @@ def test_fit_resident_sharded_via_config(tmp_path):
     np.testing.assert_allclose(
         [h["loss"] for h in tr_s.history],
         [h["loss"] for h in tr_r.history], rtol=1e-5)
+
+
+def test_resident_epoch_draw_is_permutation_walk():
+    """data.resident_draw=epoch: the on-device draw walks a fresh
+    permutation per epoch in batches of B (host-loader / reference epoch
+    semantics — SURVEY.md §3.1) and is resume-stable (absolute-step keyed)."""
+    rng = jax.random.PRNGKey(9)
+    s, b, k = 24, 8, 6  # bpe = 3 -> k=6 covers exactly 2 epochs
+    ci, _, _ = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, s, 64, 64,
+                              16, draw="epoch")
+    ci = np.asarray(ci)
+    epoch0 = ci[:3].reshape(-1)
+    epoch1 = ci[3:].reshape(-1)
+    assert sorted(epoch0.tolist()) == list(range(s))
+    assert sorted(epoch1.tolist()) == list(range(s))
+    assert not np.array_equal(epoch0, epoch1)  # reshuffled between epochs
+    # resume-stable: drawing from step 2 reproduces step 2's batch
+    ci2, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, s, 64,
+                               64, 16, draw="epoch")
+    np.testing.assert_array_equal(np.asarray(ci2)[0], ci[2])
+
+
+def test_fit_resident_epoch_mode_end_to_end(tmp_path):
+    cfg = tiny_config(
+        data={"dataset": "synthetic", "n_points": 64, "synthetic_size": 48,
+              "device_resident": True, "resident_draw": "epoch"},
+        train={"ckpt_dir": str(tmp_path), "steps": 6, "steps_per_call": 3})
+    tr = Trainer(cfg, log_fn=lambda *a, **k: None)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    tr.fit_resident(preload_clouds(ds))
+    assert int(tr.state.step) == 6
+    assert all(np.isfinite(h["loss"]) for h in tr.history)
