@@ -222,6 +222,15 @@ class TrainConfig:
     #                              — ~20 ms/call through this box's tunnel)
     kl_weight: float = 1.0
     recon_reduction: str = "sum_points"  # sum_points | mean_points; VERIFY-vs-reference (§7)
+    # train-time Gaussian jitter added to the input points (std, in the
+    # normalized cloud frame). The dequantization-style regularizer for
+    # likelihood training on exactly-surface-supported data: on shapes
+    # with zero-thickness parts (v3 thin rods/slabs) the flow otherwise
+    # drives density to infinity along the surface and val likelihood
+    # diverges while train keeps improving (observed: v3 30k run, val
+    # median neg-ELBO/pt -1.33 @10k -> -0.15 @30k). Train-only; eval and
+    # sampling always see clean points. 0 disables (default).
+    augment_noise: float = 0.0
     # run the optimizer chain on one flattened parameter vector
     # (optax.flatten): the flagship param tree has 320 leaves and the
     # per-leaf clip/adam tiny-op soup costs real scheduling gaps on TPU —

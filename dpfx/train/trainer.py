@@ -108,6 +108,11 @@ def init_state(model: DPF, cfg: Config, rng: Array, tx=None) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
+# key tag for the train-time jitter stream (train.augment_noise); folded
+# into the step-folded rng so it is independent of the eps/reparam stream
+_AUG_TAG = 0x0A96
+
+
 def make_train_step(
     model: DPF,
     tx: optax.GradientTransformation,
@@ -131,12 +136,24 @@ def make_train_step(
 
         def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
             rng = jax.random.fold_in(rng, state.step)
+            x = batch["x"]
+            if tcfg.augment_noise > 0.0:
+                # train-time jitter (train.augment_noise). Under plain jit /
+                # pjit the in-step draw has global semantics; shard_map
+                # entries pre-draw "xnoise" at GLOBAL shape with this exact
+                # recipe (fold_in(step-folded rng, _AUG_TAG) -> normal) so
+                # the update stays bit-identical across mesh sizes.
+                xn = batch.get("xnoise")
+                if xn is None:
+                    xn = jax.random.normal(
+                        jax.random.fold_in(rng, _AUG_TAG), x.shape)
+                x = x + tcfg.augment_noise * xn
 
             def loss_fn(p):
                 return elbo_loss(
                     model,
                     p,
-                    batch["x"],
+                    x,
                     rng,
                     image=batch.get("image"),
                     kl_weight=tcfg.kl_weight,
@@ -205,7 +222,12 @@ def make_train_step(
         def entry(state: TrainState, batch: Dict[str, Array], rng: Array):
             rng_step = jax.random.fold_in(rng, state.step)
             eps = jax.random.normal(rng_step, (batch["x"].shape[0], dz))
-            return sharded(state, {**batch, "eps": eps}, rng)
+            batch = {**batch, "eps": eps}
+            if tcfg.augment_noise > 0.0:
+                batch["xnoise"] = jax.random.normal(
+                    jax.random.fold_in(rng_step, _AUG_TAG),
+                    batch["x"].shape)
+            return sharded(state, batch, rng)
 
         return jax.jit(entry, donate_argnums=0)
 
@@ -271,7 +293,15 @@ def make_multi_step(
             eps = jax.vmap(
                 lambda s: jax.random.normal(jax.random.fold_in(rng, s), (b, dz))
             )(steps)
-            return sharded(state, {**batches, "eps": eps}, rng)
+            batches = {**batches, "eps": eps}
+            if cfg.train.augment_noise > 0.0:
+                xs = batches["x"].shape[1:]  # (B, N, 3)
+                batches["xnoise"] = jax.vmap(
+                    lambda s: jax.random.normal(
+                        jax.random.fold_in(jax.random.fold_in(rng, s),
+                                           _AUG_TAG), xs)
+                )(steps)
+            return sharded(state, batches, rng)
 
         return jax.jit(entry, donate_argnums=0)
     repl = NamedSharding(mesh, P())
@@ -286,12 +316,14 @@ def make_multi_step(
 
 
 def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
-                   p: int, n: int, dz: int, draw: str = "iid"):
+                   p: int, n: int, dz: int, draw: str = "iid",
+                   xnoise: bool = False):
     """Per-step batch indices + reparameterization noise for the
     device-resident data path, for the K steps starting at ``start_step``.
 
     Returns (ci [K, B] cloud ids, pi [K, B, N] point ids or None when the
-    stored size equals n_points, eps [K, B, dz]). All draws fold the
+    stored size equals n_points, eps [K, B, dz], xn [K, B, N, 3]
+    augment-noise or None unless ``xnoise``). All draws fold the
     ABSOLUTE step into the key, so streams are resume-stable; ``eps`` uses
     the exact recipe of the in-step draw (fold_in(rng, step) -> normal),
     so a resident step is bit-identical to the host-fed step on the same
@@ -335,8 +367,15 @@ def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
             _, pi = jax.lax.top_k(keys, n)
         else:
             pi = jnp.zeros((b, 0), jnp.int32)  # unused; keeps pytrees static
-        eps = jax.random.normal(jax.random.fold_in(rng, sv), (b, dz))
-        return ci, pi, eps
+        krng = jax.random.fold_in(rng, sv)
+        eps = jax.random.normal(krng, (b, dz))
+        # with ``xnoise``: the train.augment_noise jitter at GLOBAL shape,
+        # same recipe as step_fn's in-step fallback — needed by the
+        # shard_map resident paths, where an in-step draw would repeat the
+        # same noise block on every device
+        xn = (jax.random.normal(jax.random.fold_in(krng, _AUG_TAG),
+                                (b, n, 3)) if xnoise else None)
+        return ci, pi, eps, xn
 
     return jax.vmap(one)(steps_v)
 
@@ -390,6 +429,9 @@ def make_resident_multi_step(
         tcfg.fused_point_flow or tcfg.fused_encoder or tcfg.fused_latent_flow)
     data_sharded = data_sharded and multi_device
     use_shard_map = fused_sharded or data_sharded
+    # under shard_map the augment jitter must be pre-drawn at global shape
+    # (see _AUG_TAG / step_fn); elsewhere the in-step draw is correct
+    need_xn = tcfg.augment_noise > 0.0 and use_shard_map
     step_fn = make_train_step(
         model, tx, cfg, mesh=mesh, jit=False,
         pmean_axis=axis if use_shard_map else None,
@@ -399,15 +441,17 @@ def make_resident_multi_step(
     )
 
     def multi(state: TrainState, data: Array, images, ci: Array, pi: Array,
-              eps: Array, rng: Array):
+              eps: Array, xn, rng: Array):
         subsample = data.shape[1] != n
 
         def body(st, xs):
-            ci_t, pi_t, eps_t = xs
+            ci_t, pi_t, eps_t, xn_t = xs
             x = jnp.take(data, ci_t, axis=0)            # [B(local), P, 3]
             if subsample:
                 x = jnp.take_along_axis(x, pi_t[..., None], axis=1)
             batch = {"x": x, "eps": eps_t}
+            if xn_t is not None:
+                batch["xnoise"] = xn_t
             if images is not None:
                 # the SAME index gathers the paired render: pairing is the
                 # dataset's (cloud i, image i), exactly like the host loader
@@ -421,7 +465,7 @@ def make_resident_multi_step(
             st, m = step_fn(st, batch, rng)
             return st, m
 
-        return jax.lax.scan(body, state, (ci, pi, eps))
+        return jax.lax.scan(body, state, (ci, pi, eps, xn))
 
     def wrap(entry):
         """Uniform public signature: (state, data[, images], rng)."""
@@ -432,9 +476,9 @@ def make_resident_multi_step(
     if not multi_device:
         def entry_single(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
-            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n,
-                                         dz, draw=draw_mode)
-            return multi(state, data, images, ci, pi, eps, rng)
+            ci, pi, eps, _ = _resident_draw(rng, state.step, k, b, s, p, n,
+                                            dz, draw=draw_mode)
+            return multi(state, data, images, ci, pi, eps, None, rng)
 
         return jax.jit(wrap(entry_single), donate_argnums=0)
 
@@ -448,7 +492,7 @@ def make_resident_multi_step(
         b_local = b // nd
 
         def multi_sharded(state: TrainState, data: Array, images, ci: Array,
-                          pi: Array, eps: Array, rng: Array):
+                          pi: Array, eps: Array, xn, rng: Array):
             # inside shard_map: `data` is this device's LOCAL row block
             subsample = data.shape[1] != n
             rows_per = data.shape[0]
@@ -468,22 +512,24 @@ def make_resident_multi_step(
                 return jax.lax.psum(jnp.where(mask, rows, 0), axis)
 
             def body(st, xs):
-                ci_t, pi_t, eps_t = xs  # GLOBAL shapes: [B], [B, n], [B, dz]
+                ci_t, pi_t, eps_t, xn_t = xs  # GLOBAL: [B], [B,n], [B,dz]
                 x = gather(data, ci_t, pi_t, subsample)
                 sl = lambda a: jax.lax.dynamic_slice_in_dim(
                     a, me * b_local, b_local, 0)
                 batch = {"x": sl(x), "eps": sl(eps_t)}
+                if xn_t is not None:
+                    batch["xnoise"] = sl(xn_t)
                 if images is not None:
                     batch["image"] = sl(gather(images, ci_t, None, False))
                 st, m = step_fn(st, batch, rng)
                 return st, m
 
-            return jax.lax.scan(body, state, (ci, pi, eps))
+            return jax.lax.scan(body, state, (ci, pi, eps, xn))
 
         img_spec = P(axis) if with_images else P()
         sharded = _shard_map(
             multi_sharded, mesh=mesh,
-            in_specs=(P(), P(axis), img_spec, P(), P(), P(), P()),
+            in_specs=(P(), P(axis), img_spec, P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -491,10 +537,10 @@ def make_resident_multi_step(
         def entry_sharded_data(state: TrainState, data: Array, images,
                                rng: Array):
             p = data.shape[1]
-            ci, pi, eps = _resident_draw(
+            ci, pi, eps, xn = _resident_draw(
                 rng, state.step, k, b, logical_rows, p, n, dz,
-                draw=draw_mode)
-            return sharded(state, data, images, ci, pi, eps, rng)
+                draw=draw_mode, xnoise=need_xn)
+            return sharded(state, data, images, ci, pi, eps, xn, rng)
 
         return jax.jit(wrap(entry_sharded_data), donate_argnums=0)
 
@@ -502,24 +548,25 @@ def make_resident_multi_step(
         sharded = _shard_map(
             multi, mesh=mesh,
             in_specs=(P(), P(), P(), P(None, axis), P(None, axis, None),
-                      P(None, axis, None), P()),
+                      P(None, axis, None), P(None, axis), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
 
         def entry_fused(state: TrainState, data: Array, images, rng: Array):
             s, p = data.shape[0], data.shape[1]
-            ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz,
-                                         draw=draw_mode)
-            return sharded(state, data, images, ci, pi, eps, rng)
+            ci, pi, eps, xn = _resident_draw(rng, state.step, k, b, s, p, n,
+                                             dz, draw=draw_mode,
+                                             xnoise=need_xn)
+            return sharded(state, data, images, ci, pi, eps, xn, rng)
 
         return jax.jit(wrap(entry_fused), donate_argnums=0)
 
     def entry_pjit(state: TrainState, data: Array, images, rng: Array):
         s, p = data.shape[0], data.shape[1]
-        ci, pi, eps = _resident_draw(rng, state.step, k, b, s, p, n, dz,
-                                     draw=draw_mode)
-        return multi(state, data, images, ci, pi, eps, rng)
+        ci, pi, eps, _ = _resident_draw(rng, state.step, k, b, s, p, n, dz,
+                                        draw=draw_mode)
+        return multi(state, data, images, ci, pi, eps, None, rng)
 
     repl = NamedSharding(mesh, P())
     shardings = (repl, repl, repl, repl) if with_images else (repl, repl, repl)

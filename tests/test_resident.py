@@ -71,7 +71,7 @@ def test_resident_matches_host_fed_steps():
     data = _data()
     k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
 
-    ci, pi, eps = _resident_draw(
+    ci, pi, eps, _ = _resident_draw(
         rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
     assert pi.shape == (k, b, 0)  # P == N: no subsample indices
     step = make_train_step(model, tx, cfg, None)
@@ -97,7 +97,7 @@ def test_resident_subsample_without_replacement():
     cfg = tiny_config(data={"n_points": 32})
     rng = jax.random.PRNGKey(0)
     k, b, p, n = 4, 8, 100, 32
-    ci, pi, eps = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, 24, p,
+    ci, pi, eps, _ = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, 24, p,
                                  n, cfg.model.dz)
     pi = np.asarray(pi)
     assert pi.shape == (k, b, n)
@@ -108,7 +108,7 @@ def test_resident_subsample_without_replacement():
     ci = np.asarray(ci)
     assert ci.min() >= 0 and ci.max() < 24
     # draws differ per step and are resume-stable (absolute-step keyed)
-    ci2, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, 24, p,
+    ci2, _, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, 24, p,
                                n, cfg.model.dz)
     np.testing.assert_array_equal(np.asarray(ci2)[0], ci[2])
 
@@ -254,7 +254,7 @@ def test_resident_svr_matches_host_fed_steps():
     data, images = _data(s=32), _images(s=32)
     k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
 
-    ci, pi, eps = _resident_draw(
+    ci, pi, eps, _ = _resident_draw(
         rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
     step = make_train_step(model, tx, cfg, None)
     for t in range(k):
@@ -350,7 +350,7 @@ def test_resident_stored_smaller_than_n_points():
     """Stored clouds smaller than data.n_points: the resident draw falls
     back to with-replacement indices (== loader.sample_cloud's m < n_points
     fallback) instead of crashing in top_k."""
-    ci, pi, eps = _resident_draw(
+    ci, pi, eps, _ = _resident_draw(
         jax.random.PRNGKey(0), jnp.int32(5), 3, 8, s=48, p=32, n=64, dz=16
     )
     assert pi.shape == (3, 8, 64)
@@ -498,7 +498,7 @@ def test_resident_epoch_draw_is_permutation_walk():
     semantics — SURVEY.md §3.1) and is resume-stable (absolute-step keyed)."""
     rng = jax.random.PRNGKey(9)
     s, b, k = 24, 8, 6  # bpe = 3 -> k=6 covers exactly 2 epochs
-    ci, _, _ = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, s, 64, 64,
+    ci, _, _, _ = _resident_draw(rng, jnp.zeros((), jnp.int32), k, b, s, 64, 64,
                               16, draw="epoch")
     ci = np.asarray(ci)
     epoch0 = ci[:3].reshape(-1)
@@ -507,7 +507,7 @@ def test_resident_epoch_draw_is_permutation_walk():
     assert sorted(epoch1.tolist()) == list(range(s))
     assert not np.array_equal(epoch0, epoch1)  # reshuffled between epochs
     # resume-stable: drawing from step 2 reproduces step 2's batch
-    ci2, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, s, 64,
+    ci2, _, _, _ = _resident_draw(rng, jnp.asarray(2, jnp.int32), k, b, s, 64,
                                64, 16, draw="epoch")
     np.testing.assert_array_equal(np.asarray(ci2)[0], ci[2])
 
@@ -522,3 +522,65 @@ def test_fit_resident_epoch_mode_end_to_end(tmp_path):
     tr.fit_resident(preload_clouds(ds))
     assert int(tr.state.step) == 6
     assert all(np.isfinite(h["loss"]) for h in tr.history)
+
+
+@pytest.mark.parametrize("path", ["fused", "data_sharded"])
+def test_resident_augment_sharded_matches_single(path):
+    """train.augment_noise on the resident shard_map paths: the jitter is
+    pre-drawn at GLOBAL shape by _resident_draw (xnoise=True) so the
+    sharded update matches the single-device resident update exactly."""
+    from dpfx.parallel import shard_resident_stack
+
+    tr = {"augment_noise": 0.05}
+    if path == "fused":
+        tr.update({"fused_point_flow": True, "fused_encoder": True})
+    cfg = tiny_config(data={"n_points": 32}, train=tr)
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(11)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data(s=40, p=100)
+
+    multi_single = make_resident_multi_step(model, tx, cfg, None, 2)
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    if path == "data_sharded":
+        data_dev = shard_resident_stack(data, mesh)
+        multi_mesh = make_resident_multi_step(
+            model, tx, cfg, mesh, 2, data_sharded=True, logical_rows=40)
+    else:
+        data_dev = jnp.asarray(data)
+        multi_mesh = make_resident_multi_step(model, tx, cfg, mesh, 2)
+    s0, m0 = multi_single(s0, jnp.asarray(data), rng)
+    s1, m1 = multi_mesh(s1, data_dev, rng)
+    np.testing.assert_allclose(np.asarray(m1["loss"]), np.asarray(m0["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_resident_augment_matches_host_fed():
+    """With augment_noise, a resident step still equals the host-fed step
+    on the same batch (the in-step fallback and the resident path share
+    the fold_in(step-rng, _AUG_TAG) recipe)."""
+    cfg = tiny_config(train={"augment_noise": 0.07})
+    model = DPF(cfg)
+    tx = make_optimizer(cfg.train)
+    rng = jax.random.PRNGKey(5)
+    s0 = init_state(model, cfg, rng, tx)
+    s1 = jax.tree.map(jnp.copy, s0)
+    data = _data(s=48, p=64)
+
+    ci, pi, eps, _ = _resident_draw(
+        rng, jnp.zeros((), jnp.int32), 2, cfg.train.batch_size, 48, 64, 64,
+        cfg.model.dz)
+    step = make_train_step(model, tx, cfg, None)
+    for t in range(2):
+        s0, m0 = step(s0, {"x": jnp.take(jnp.asarray(data),
+                                         ci[t], axis=0)}, rng)
+    multi = make_resident_multi_step(model, tx, cfg, None, 2)
+    s1, m1 = multi(s1, jnp.asarray(data), rng)
+    np.testing.assert_allclose(float(m1["loss"][-1]), float(m0["loss"]),
+                               rtol=1e-5)

@@ -525,3 +525,42 @@ def test_nonfinite_skip_consistent_on_mesh():
     assert float(m["nonfinite_skipped"]) == 1.0
     for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(state2.params)):
         np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_augment_noise_applied_and_dp_identical():
+    """train.augment_noise: (a) the jitter is actually applied (loss moves
+    vs sigma=0 on the same batch/rng), (b) the fused shard_map step — where
+    the noise is pre-drawn at GLOBAL shape (trainer._AUG_TAG) — matches the
+    single-device step, and (c) the non-fused pjit step matches too (its
+    in-step draw has global semantics under pjit)."""
+    cfg0 = tiny_config()
+    model = DPF(cfg0)
+    tx = make_optimizer(cfg0.train)
+    rng = jax.random.PRNGKey(3)
+    state = init_state(model, cfg0, rng, tx)
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 64, 3))
+
+    def run(cfg, mesh=None):
+        st = jax.tree.map(jnp.copy, state)
+        st, m = make_train_step(model, tx, cfg, mesh)(st, {"x": x}, rng)
+        return st, float(m["loss"])
+
+    _, l_clean = run(cfg0)
+    cfga = tiny_config(train={"augment_noise": 0.1})
+    s_single, l_aug = run(cfga)
+    assert abs(l_aug - l_clean) > 1e-4, "augment noise not applied"
+
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    # non-fused pjit path
+    s_pjit, l_pjit = run(cfga, mesh)
+    np.testing.assert_allclose(l_pjit, l_aug, rtol=1e-5)
+    # fused shard_map path (pre-drawn global xnoise)
+    cfgf = tiny_config(train={"augment_noise": 0.1, "fused_point_flow": True,
+                              "fused_encoder": True})
+    s_f1, l_f1 = run(cfgf)
+    s_f8, l_f8 = run(cfgf, mesh)
+    np.testing.assert_allclose(l_f8, l_f1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_f1.params), jax.tree.leaves(s_f8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
