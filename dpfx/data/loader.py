@@ -25,6 +25,17 @@ def sample_cloud(x: np.ndarray, n_points: int, rng: np.random.Generator) -> np.n
     return x[idx]
 
 
+def _slot_rng(seed: int, epoch: int, slot: int) -> np.random.Generator:
+    """Per-item subsample rng keyed by (loader seed, epoch, global epoch
+    slot). Keying the point-subsample draw to the item's GLOBAL position in
+    the epoch order — rather than consuming a shared stream in local load
+    order — makes the assembled global batch bit-identical between a
+    single-process run and a ``batch_shard`` pod for ANY stored cloud size
+    (the shared-stream draw diverged whenever stored != n_points because
+    each host consumed the stream in its own order)."""
+    return np.random.default_rng(np.random.SeedSequence((seed, epoch, slot)))
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -45,14 +56,22 @@ def iterate_batches(
     rows [start, stop) of each global batch — its devices' contiguous
     slice (dpfx.parallel.distributed.process_local_rows) — so a host
     touches only ~B/P items per step and the assembled global batch is
-    identical to the single-process one. (The per-item point subsample
-    consumes each process's rng in local order, so with stored_size !=
-    n_points the subsample stream differs from single-process — same
-    distribution, different draws.)"""
+    BIT-identical to the single-process one for any stored cloud size
+    (per-item subsample rng keyed by global epoch slot, :func:`_slot_rng`).
+
+    ``batch_shard`` requires ``drop_last=True``: a short tail batch would
+    give some processes an empty/short slice while others consume rows,
+    desynchronizing every subsequent per-host batch and any collective
+    built on them."""
     if drop_last and len(dataset) < batch_size:
         raise ValueError(
             f"dataset has {len(dataset)} items < batch_size {batch_size} with "
             "drop_last=True: no batch can ever be produced"
+        )
+    if batch_shard is not None and not drop_last:
+        raise ValueError(
+            "batch_shard (multi-process per-host loading) requires "
+            "drop_last=True: a ragged tail batch desynchronizes the hosts"
         )
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -65,11 +84,21 @@ def iterate_batches(
             idx = order[s : s + batch_size]
             if drop_last and len(idx) < batch_size:
                 break
+            slots = np.arange(s, s + len(idx))
             if batch_shard is not None:
                 idx = idx[batch_shard[0]:batch_shard[1]]
+                slots = slots[batch_shard[0]:batch_shard[1]]
                 if idx.size == 0:
-                    continue
-            clouds = np.stack([sample_cloud(dataset[int(i)], n_points, rng) for i in idx])
+                    raise RuntimeError(
+                        "batch_shard slice is empty: batch_size is smaller "
+                        "than this process's padded per-device row count — "
+                        "raise batch_size or shrink the mesh"
+                    )
+            clouds = np.stack([
+                sample_cloud(dataset[int(i)], n_points,
+                             _slot_rng(seed, epoch, int(j)))
+                for i, j in zip(idx, slots)
+            ])
             batch = {"x": clouds}
             if with_images and hasattr(dataset, "image"):
                 batch["image"] = np.stack([dataset.image(int(i)) for i in idx])

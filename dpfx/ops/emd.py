@@ -447,7 +447,13 @@ def _emd_pallas_pairwise(xp: Array, yp: Array, n: int, m: int, tn: int,
     s2_pad = _round_up(s2, 128)
 
     use_dcache = EMD_DCACHE and not exact
-    use_exact_cache = EMD_EXACT_CACHE and exact
+    # The exact-mode caches cost two [Np, Mp] f32 VMEM scratches; past the
+    # scoped-vmem budget (e.g. ~134 MB at 4096x4096 vs v5e's 128 MB physical)
+    # the cached kernel cannot compile, so fall back to the uncached exact
+    # path automatically instead of failing where the round-3 code worked.
+    cache_bytes = 2 * n_pad * m_pad * 4
+    use_exact_cache = (EMD_EXACT_CACHE and exact
+                       and cache_bytes <= EMD_EXACT_VMEM_MB * 1024 * 1024)
 
     def kernel(x_ref, y_ref, cost_ref, *rest):
         rest = list(rest)

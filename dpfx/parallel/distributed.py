@@ -55,15 +55,30 @@ def initialize_distributed(
         process_id = int(pid) if pid is not None else None
     if coordinator_address is None:
         return  # single-process run; nothing to do
+    if _already_initialized():
+        return  # e.g. env-var auto-init, or a second CLI call in-process
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already initialized
-        if "already" not in str(e).lower():
+    except RuntimeError as e:  # already initialized (raced the check above)
+        msg = str(e).lower()
+        if "already" not in msg and "only be called once" not in msg:
             raise
+
+
+def _already_initialized() -> bool:
+    """True when the jax distributed client is live. jax 0.9's double-init
+    RuntimeError says 'should only be called once' (no 'already'), so the
+    message filter alone would re-raise; checking the client directly makes
+    init genuinely idempotent."""
+    try:
+        from jax._src.distributed import global_state
+        return global_state.client is not None
+    except Exception:
+        return False
 
 
 def initialize_from_config(pcfg) -> None:

@@ -34,7 +34,7 @@ def _free_port() -> int:
 
 
 def _run_pod(n_procs: int, dpp: int, ckpt_dir: str, timeout: int = 600,
-             mode: str = "resident"):
+             mode: str = "resident", n_stored: int = 64):
     """Spawn the worker pod; returns the parsed JSON line of each process."""
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
@@ -42,7 +42,7 @@ def _run_pod(n_procs: int, dpp: int, ckpt_dir: str, timeout: int = 600,
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, str(pid), str(n_procs), str(port),
-             str(dpp), ckpt_dir, mode],
+             str(dpp), ckpt_dir, mode, str(n_stored)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env, cwd=REPO,
         )
@@ -101,7 +101,14 @@ def test_two_process_hostfed_matches_single_process(tmp_path):
     """Host-fed path: per-host loaders (iterate_batches batch_shard) feed
     the same global batches the single-process loader assembles, so the
     losses match; also exercises multi-process evaluate with a ragged
-    batch (12 clouds on an 8-device mesh)."""
+    batch (12 clouds on an 8-device mesh).
+
+    n_stored=96 > n_points=64 is the REAL deployment shape (ShapeNet
+    stores 15k points per item): each batch row's point subsample must
+    come out identical whether the row is loaded by the single process or
+    by whichever pod host owns it — the per-slot rng in
+    dpfx.data.loader._slot_rng; a shared-stream draw breaks exactly
+    here."""
     from dpfx.data import iterate_batches
 
     cfg = config_from_dict({
@@ -121,14 +128,14 @@ def test_two_process_hostfed_matches_single_process(tmp_path):
     })
     tr = Trainer(cfg, log_fn=lambda *a, **k: None)
     require_mesh8(tr.mesh)
-    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    ds = SyntheticDataset(size=48, n_stored=96, split="train")
     tr.fit(iterate_batches(ds, 16, 64, seed=cfg.train.seed))
     single_losses = [h["loss"] for h in tr.history]
-    val_ds = SyntheticDataset(size=12, n_stored=64, split="val")
+    val_ds = SyntheticDataset(size=12, n_stored=96, split="val")
     single_val = tr.evaluate(iterate_batches(
         val_ds, 16, 64, seed=0, shuffle=False, epochs=1, drop_last=False))
 
-    outs = _run_pod(2, 4, str(tmp_path / "pod"), mode="hostfed")
+    outs = _run_pod(2, 4, str(tmp_path / "pod"), mode="hostfed", n_stored=96)
     for out in outs:
         assert out["final_step"] == 6
         np.testing.assert_allclose(out["losses"], single_losses, rtol=1e-5,
@@ -136,3 +143,41 @@ def test_two_process_hostfed_matches_single_process(tmp_path):
         for k, v in single_val.items():
             np.testing.assert_allclose(out["val"][k], v, rtol=1e-4,
                                        err_msg=f"val {k}")
+
+
+@pytest.mark.slow
+def test_two_process_pod_resume(tmp_path):
+    """Pod checkpoint resume (Trainer.maybe_resume's multi-process staging):
+    train 3 steps, checkpoint, rebuild the Trainer in-process, resume, run
+    to 6 — the post-resume loss window must reproduce the straight
+    single-process 6-step run's (resident draws are absolute-step keyed,
+    so the trajectory is resume-invariant)."""
+    cfg = config_from_dict({
+        "experiment": "gen",
+        "name": "mp_worker",
+        "model": {
+            "dz": 16,
+            "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "latent_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2},
+            "encoder": {"point_widths": [32, 64], "head_widths": [32]},
+        },
+        "data": {"dataset": "synthetic", "n_points": 64,
+                 "synthetic_size": 48, "device_resident": True},
+        "parallel": {"resident_sharding": "sharded"},
+        "train": {"batch_size": 16, "steps": 6, "steps_per_call": 3,
+                  "lr": 1e-3, "log_every": 3, "ckpt_every": 1000,
+                  "eval_every": 1000, "ckpt_dir": str(tmp_path / "single")},
+    })
+    tr = Trainer(cfg, log_fn=lambda *a, **k: None)
+    require_mesh8(tr.mesh)
+    ds = SyntheticDataset(size=48, n_stored=64, split="train")
+    tr.fit_resident(preload_clouds(ds))
+    single_losses = [h["loss"] for h in tr.history]
+
+    outs = _run_pod(2, 4, str(tmp_path / "pod"), mode="resume")
+    for out in outs:
+        assert out["final_step"] == 6
+        # leg-2 history holds only the post-resume window (step 6)
+        np.testing.assert_allclose(out["losses"][-1], single_losses[-1],
+                                   rtol=1e-5,
+                                   err_msg=f"process {out['pid']}")
