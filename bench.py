@@ -77,9 +77,12 @@ def _baseline_cfg():
     )
 
 
-def bench_sample(cfg, fused: bool) -> float:
+def bench_sample(cfg, fused: bool, with_cost: bool = False):
     """Full sampling pipeline points/s/chip (latent inverse + point-flow
-    inverse + noise), keys chained through the carry."""
+    inverse + noise), keys chained through the carry. ``with_cost=True``
+    additionally returns the per-call (flops, hbm_floor_bytes) so the
+    sample number self-interprets against chip peaks like the train side
+    (round-4 VERDICT item 4)."""
     from dpfx.models import DPF
     from dpfx.sampling import make_sampler
 
@@ -94,7 +97,30 @@ def bench_sample(cfg, fused: bool) -> float:
         return carry + 0 * out[0, 0, 0].astype(jnp.int32), out[0, 0, 0]
 
     dt = chain_time_ms(step, jnp.zeros((), jnp.int32), SAMPLE_REPS)
-    return B * N / dt * 1000.0
+    pts = B * N / dt * 1000.0
+    if not with_cost:
+        return pts
+    # model flops via XLA cost analysis of the mathematically-identical
+    # NON-fused sampler (Pallas custom calls report 0 flops to XLA)
+    from dpfx.utils.profiling import chain_cost_per_step
+
+    sample_xla = make_sampler(model, params, B, N, fused=False)
+
+    def step_xla(carry, i):
+        key = jax.random.fold_in(rng, i + carry.astype(jnp.int32))
+        out = sample_xla(key)
+        return carry + 0 * out[0, 0, 0].astype(jnp.int32), out[0, 0, 0]
+
+    flops, _ = chain_cost_per_step(step_xla, jnp.zeros((), jnp.int32))
+    # HBM traffic FLOOR, analytic (same convention as the train side):
+    # inference reads each weight at least once per call and writes the
+    # [B, N, 3] f32 output; noise is drawn in-kernel (no HBM stream) and
+    # activations live in VMEM on the fused path. Weights stream at the
+    # conditioner compute dtype (bf16 on the flagship).
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    wbytes = jnp.dtype(cfg.model.point_flow.compute_dtype).itemsize
+    hbm_floor = n_params * wbytes + B * N * 3 * 4
+    return pts, dt, flops, hbm_floor
 
 
 def bench_train(cfg, with_cost: bool = False):
@@ -205,7 +231,8 @@ PEAKS = {
 
 def main() -> None:
     flagship = _flagship_cfg()
-    sample_pts = bench_sample(flagship, fused=True)
+    sample_pts, sample_ms, sample_flops, sample_bytes = bench_sample(
+        flagship, fused=True, with_cost=True)
     train_pts, train_ms, train_flops, train_bytes = bench_train(
         flagship, with_cost=True)
 
@@ -239,12 +266,27 @@ def main() -> None:
            if train_flops and peak_flops else None)
     hbm = (round(train_bytes / (train_ms / 1e3) / peak_bw, 4)
            if train_bytes and peak_bw else None)
+    sample_mfu = (round(sample_flops / (sample_ms / 1e3) / peak_flops, 4)
+                  if sample_flops and peak_flops else None)
+    sample_hbm = (round(sample_bytes / (sample_ms / 1e3) / peak_bw, 4)
+                  if sample_bytes and peak_bw else None)
 
     print(json.dumps({
         "metric": "sample_points_per_sec_per_chip",
         "value": round(sample_pts),
         "unit": "points/s",
         "vs_baseline": round(sample_pts / sample_base, 3),
+        # sampler physics (round-4 VERDICT item 4): same method as the
+        # train side — XLA flops of the identical non-fused sampler, and
+        # an analytic weights+output HBM floor
+        "sample_ms_per_call": round(sample_ms, 3),
+        "sample_flops_per_call": round(sample_flops) if sample_flops else None,
+        "sample_flops_per_cloud": (round(sample_flops / B)
+                                   if sample_flops else None),
+        "sample_mfu": sample_mfu,
+        "sample_hbm_bytes_floor_per_call": (round(sample_bytes)
+                                            if sample_bytes else None),
+        "sample_hbm_bw_util_floor": sample_hbm,
         "train_points_per_sec_per_chip": round(train_pts),
         "train_vs_baseline": round(train_pts / train_base, 3),
         # absolute physics: XLA-reported cost of the train chain vs chip

@@ -182,8 +182,14 @@ class DataConfig:
     # steady state (dpfx/data/device.py). Point-modality experiments with
     # splits that fit HBM (ShapeNet airplane @ 15k pts ~ 0.5 GB).
     device_resident: bool = False
-    resident_draw: str = "iid"   # iid | epoch (host-loader/reference epoch
-    #                              permutation semantics, derived on device)
+    resident_draw: str = "epoch"  # epoch | iid. Default is the host-loader /
+    #   reference convention (SURVEY.md §3.1): a per-epoch permutation of
+    #   the split walked in batches, derived ON DEVICE from the absolute
+    #   step — resident loss curves are step-comparable with an epoch-walk
+    #   reference run. "iid" (the pre-round-5 default) draws uniform per
+    #   step: statistically immaterial for the i.i.d. ELBO objective at
+    #   these split sizes, but not epoch-comparable; kept as an option for
+    #   continuity with recorded round-3/4 runs.
     # synthetic dataset controls (tests / smoke configs)
     synthetic_size: int = 256
     synthetic_modes: int = 4

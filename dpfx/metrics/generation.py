@@ -113,6 +113,24 @@ def pairwise_matrix(
             in_shardings=(NamedSharding(mesh, P(axis_name)), NamedSharding(mesh, P())),
             out_shardings=NamedSharding(mesh, P(axis_name)),
         )
+        if jax.process_count() > 1:
+            # pod: the mesh spans non-addressable devices, so inputs must be
+            # GLOBAL jax.Arrays (every host holds the full value; each
+            # extracts its slice) and each row block is gathered back to
+            # every host — downstream MMD/COV/1-NNA are host numpy.
+            from jax.experimental import multihost_utils
+
+            def _to_global(x, spec):
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(mesh, spec), np.asarray(x), x.shape)
+
+            ys_g = _to_global(ys, P())
+            rows = []
+            for s in range(0, xs_p.shape[0], chunk):
+                out = kernel(_to_global(xs_p[s : s + chunk], P(axis_name)), ys_g)
+                rows.append(np.asarray(
+                    multihost_utils.process_allgather(out, tiled=True)))
+            return jnp.concatenate(rows, axis=0)[:s1]
     else:
         kernel = jax.jit(kernel)
 
@@ -329,8 +347,30 @@ def compute_all_metrics(
                 name = (label_names or {}).get(c, f"cat{c}")
                 per_cat.setdefault(name, {})[f"mmd-{metric}"] = vals["mmd"] * emd_scale
                 per_cat[name][f"cov-{metric}"] = vals["cov"]
+    # emit BOTH frames every time: whether the reference re-normalizes
+    # before JSD is unverifiable offline (VERIFY #20), so published tables
+    # carry the fit AND raw values plus which one "jsd" is — no silent
+    # convention divergence possible.
+    import warnings
+
     out["jsd"] = jsd_between_sets(np.asarray(gen), np.asarray(ref), jsd_resolution,
                                   frame=jsd_frame)
+    other = "raw" if jsd_frame == "fit" else "fit"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the hedge frame computes silently
+        out[f"jsd_{other}"] = jsd_between_sets(
+            np.asarray(gen), np.asarray(ref), jsd_resolution, frame=other)
+    out[f"jsd_{jsd_frame}"] = out["jsd"]
+    out["jsd_frame"] = jsd_frame
     if per_cat:
         out["per_category"] = per_cat
+        # self-describing convention note (VERIFY #21): generated clouds
+        # carry no labels, so per-class COV counts class-c refs that are the
+        # global nearest ref of >=1 generated cloud; MMD_c averages over
+        # class-c refs only. An invented-but-documented convention.
+        out["per_category_convention"] = (
+            "mmd_c: mean over class-c refs of min distance to ANY gen; "
+            "cov_c: fraction of class-c refs that are the global argmin ref "
+            "of >=1 gen cloud (gen clouds are unlabeled)"
+        )
     return out

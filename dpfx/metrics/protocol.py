@@ -22,6 +22,17 @@ from dpfx.models import DPF
 from dpfx.ops import chamfer, emd_nograd
 
 
+def _fetch(x) -> np.ndarray:
+    """jax.Array -> host numpy, pod-safe: a multi-process sampler output is
+    a GLOBAL array sharded over non-addressable devices, which np.asarray
+    refuses; every process gathers the full value over the pod instead."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def evaluate_reconstruction(
     model: DPF,
     params,
@@ -107,7 +118,7 @@ def evaluate_generation(
 
     outs = []
     for i in range(0, s, sample_batch):
-        outs.append(np.asarray(sample_batch_fn(jax.random.fold_in(rng, i))))
+        outs.append(_fetch(sample_batch_fn(jax.random.fold_in(rng, i))))
     gen = np.concatenate(outs, axis=0)[:s]
     return compute_all_metrics(
         jnp.asarray(gen),

@@ -316,7 +316,7 @@ def make_multi_step(
 
 
 def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
-                   p: int, n: int, dz: int, draw: str = "iid",
+                   p: int, n: int, dz: int, draw: str = "epoch",
                    xnoise: bool = False):
     """Per-step batch indices + reparameterization noise for the
     device-resident data path, for the K steps starting at ``start_step``.
@@ -328,15 +328,17 @@ def _resident_draw(rng: Array, start_step: Array, k: int, b: int, s: int,
     the exact recipe of the in-step draw (fold_in(rng, step) -> normal),
     so a resident step is bit-identical to the host-fed step on the same
     batch. Cloud choice (``draw``):
-      * "iid" (default) — i.i.d. uniform per step. Immaterial for the
-        i.i.d. ELBO objective at these split sizes, but loss curves are
-        not step-comparable with the host loader's epoch walk.
-      * "epoch" — the host-loader convention (and the reference's,
-        SURVEY.md §3.1): a fresh on-device permutation of the split per
-        epoch, walked in batches of B with the ragged tail dropped
-        (s // b batches per epoch), epoch id derived from the absolute
-        step. Same SEMANTICS as dpfx.data.loader.iterate_batches; the
-        permutation stream itself is jax's, not numpy's.
+      * "epoch" (default, = config default since round 5) — the
+        host-loader convention (and the reference's, SURVEY.md §3.1): a
+        fresh on-device permutation of the split per epoch, walked in
+        batches of B with the ragged tail dropped (s // b batches per
+        epoch), epoch id derived from the absolute step. Same SEMANTICS
+        as dpfx.data.loader.iterate_batches; the permutation stream
+        itself is jax's, not numpy's.
+      * "iid" — i.i.d. uniform per step (the round-3/4 default, kept for
+        continuity with recorded runs). Immaterial for the i.i.d. ELBO
+        objective at these split sizes, but loss curves are not
+        step-comparable with the host loader's epoch walk.
     The point subsample is uniform WITHOUT replacement — top-N of
     per-point uniform keys — matching ``dpfx.data.loader.sample_cloud``,
     including its with-replacement fallback when the stored cloud is

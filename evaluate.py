@@ -36,6 +36,15 @@ def main(argv=None) -> int:
     from dpfx.train import restore_for_eval
 
     cfg = load_config(args.config, overrides=args.overrides)
+
+    # multi-process (one process per host on a pod): must run before the
+    # first device access so train/eval/generate share one launch
+    # convention; no-op unless parallel.coordinator or the
+    # JAX_COORDINATOR_ADDRESS env var is set
+    from dpfx.parallel.distributed import initialize_from_config
+
+    initialize_from_config(cfg.parallel)
+
     model, params, step = restore_for_eval(cfg, args.step)
     print(f"[dpfx] evaluating {cfg.experiment} @ step {step}")
 
@@ -70,7 +79,7 @@ def main(argv=None) -> int:
 
     line = json.dumps({"step": step, "n_test": int(clouds.shape[0]), **results})
     print(line)
-    if args.out:
+    if args.out and jax.process_index() == 0:  # coordinator writes, pods don't race
         with open(args.out, "a") as f:
             f.write(line + "\n")
     return 0

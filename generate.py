@@ -34,6 +34,13 @@ def main(argv=None) -> int:
     from dpfx.train import restore_for_eval
 
     cfg = load_config(args.config, overrides=args.overrides)
+
+    # multi-process pod launch convention shared with train.py/evaluate.py;
+    # no-op without parallel.coordinator / JAX_COORDINATOR_ADDRESS
+    from dpfx.parallel.distributed import initialize_from_config
+
+    initialize_from_config(cfg.parallel)
+
     model, params, step = restore_for_eval(cfg, args.step)
     n_points = args.n_points or cfg.data.n_points_eval
 
@@ -44,8 +51,9 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     clouds = np.asarray(sampler(jax.random.fold_in(rng, 1)))
     dt = time.perf_counter() - t0
-    np.save(args.out, clouds)
-    if args.png:
+    if jax.process_index() == 0:  # coordinator writes, pods don't race
+        np.save(args.out, clouds)
+    if args.png and jax.process_index() == 0:
         from dpfx.utils import save_cloud_montage
 
         saved = save_cloud_montage(clouds, args.png)

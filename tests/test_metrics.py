@@ -70,8 +70,11 @@ def test_compute_all_metrics_keys():
     gen = jax.random.normal(k, (8, 24, 3)) * 0.3
     ref = jax.random.normal(jax.random.fold_in(k, 1), (8, 24, 3)) * 0.3
     out = compute_all_metrics(gen, ref, metrics=("cd",), impl="jnp")
-    assert set(out) == {"mmd-cd", "cov-cd", "1-nna-cd", "jsd"}
-    assert all(np.isfinite(v) for v in out.values())
+    # jsd_fit/jsd_raw/jsd_frame: both-frames hedge, VERIFY #20 (round 5)
+    assert set(out) == {"mmd-cd", "cov-cd", "1-nna-cd", "jsd",
+                        "jsd_fit", "jsd_raw", "jsd_frame"}
+    assert out["jsd_frame"] == "fit"
+    assert all(np.isfinite(v) for k, v in out.items() if k != "jsd_frame")
 
 
 def test_eval_protocols_end_to_end(tmp_path):

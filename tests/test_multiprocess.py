@@ -181,3 +181,80 @@ def test_two_process_pod_resume(tmp_path):
         np.testing.assert_allclose(out["losses"][-1], single_losses[-1],
                                    rtol=1e-5,
                                    err_msg=f"process {out['pid']}")
+
+
+def _run_pod_cli(script_args, n_procs: int, dpp: int, port: int,
+                 timeout: int = 600):
+    """Launch a repo-root CLI (train.py / evaluate.py / generate.py) as an
+    n_procs-process pod via the shared env-var convention
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) — the
+    exact launch shape a real multi-host pod uses. Returns each process's
+    stdout."""
+    base = {k: v for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+    procs = []
+    for pid in range(n_procs):
+        env = dict(
+            base,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={dpp}",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES=str(n_procs),
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable] + script_args,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        ))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"CLI pod process failed:\n{err[-4000:]}\n{out[-2000:]}"
+        outs.append(out)
+    return outs
+
+
+@pytest.mark.slow
+def test_pod_cli_train_evaluate_generate(tmp_path):
+    """All three CLIs are pod-launchable with ONE convention (round-4
+    VERDICT item 6): a 2-process x 4-device pod runs train.py (resident-
+    SHARDED stack), then evaluate.py, then generate.py against the same
+    checkpoint dir, each stitched by initialize_from_config reading the
+    JAX_COORDINATOR_* env vars."""
+    ckpt_dir = str(tmp_path / "ckpts")
+    overrides = [
+        "model.dz=16", "model.point_flow.n_layers=4",
+        "model.point_flow.hidden=32", "model.latent_flow.n_layers=4",
+        "model.latent_flow.hidden=32",
+        "data.n_points=64", "data.n_points_eval=64",
+        "data.synthetic_size=48", "data.device_resident=true",
+        "parallel.resident_sharding=sharded",
+        "train.batch_size=16", "train.steps=4", "train.steps_per_call=2",
+        "train.log_every=2", "train.ckpt_every=4", "train.eval_every=1000",
+        f"train.ckpt_dir={ckpt_dir}",
+        "eval.batch_size=16",
+    ]
+    cfg_path = os.path.join(REPO, "configs", "smoke_gen_synthetic.yaml")
+
+    _run_pod_cli(["train.py", cfg_path] + overrides, 2, 4, _free_port())
+
+    out_json = str(tmp_path / "eval.json")
+    _run_pod_cli(["evaluate.py", cfg_path] + overrides +
+                 ["--limit", "8", "--out", out_json], 2, 4, _free_port())
+    with open(out_json) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1, "coordinator alone writes --out"
+    rec = json.loads(lines[0])
+    assert rec["step"] == 4 and rec["n_test"] == 8
+
+    out_npy = str(tmp_path / "samples.npy")
+    _run_pod_cli(["generate.py", cfg_path] + overrides +
+                 ["--n-clouds", "8", "--out", out_npy], 2, 4, _free_port())
+    clouds = np.load(out_npy)
+    assert clouds.shape == (8, 64, 3) and np.isfinite(clouds).all()

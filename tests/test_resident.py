@@ -72,7 +72,8 @@ def test_resident_matches_host_fed_steps():
     k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
 
     ci, pi, eps, _ = _resident_draw(
-        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
+        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz,
+        draw=cfg.data.resident_draw)
     assert pi.shape == (k, b, 0)  # P == N: no subsample indices
     step = make_train_step(model, tx, cfg, None)
     for t in range(k):
@@ -255,7 +256,8 @@ def test_resident_svr_matches_host_fed_steps():
     k, b, n = 3, cfg.train.batch_size, cfg.data.n_points
 
     ci, pi, eps, _ = _resident_draw(
-        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz)
+        rng, s0.step, k, b, data.shape[0], data.shape[1], n, cfg.model.dz,
+        draw=cfg.data.resident_draw)
     step = make_train_step(model, tx, cfg, None)
     for t in range(k):
         x = jnp.asarray(data)[ci[t]]
@@ -575,7 +577,7 @@ def test_resident_augment_matches_host_fed():
 
     ci, pi, eps, _ = _resident_draw(
         rng, jnp.zeros((), jnp.int32), 2, cfg.train.batch_size, 48, 64, 64,
-        cfg.model.dz)
+        cfg.model.dz, draw=cfg.data.resident_draw)
     step = make_train_step(model, tx, cfg, None)
     for t in range(2):
         s0, m0 = step(s0, {"x": jnp.take(jnp.asarray(data),

@@ -116,3 +116,38 @@ def test_emd_exact_cache_vmem_fallback():
                                    atol=2e-2)
     finally:
         emd_mod.EMD_EXACT_VMEM_MB = old
+
+
+def test_gen_metrics_emit_both_jsd_frames():
+    """Every gen-eval output must carry BOTH jsd frames plus which one the
+    headline "jsd" is (VERIFY #20 hedge: whether the reference
+    re-normalizes before JSD is unverifiable offline, so published tables
+    self-describe), and per-category tables must ship their convention
+    note (VERIFY #21)."""
+    import warnings
+
+    import numpy as np
+
+    from dpfx.metrics.generation import compute_all_metrics
+
+    rng = np.random.default_rng(0)
+    gen = rng.normal(size=(6, 32, 3)).astype(np.float32)
+    ref = rng.normal(size=(6, 32, 3)).astype(np.float32)
+    labels = np.array([0, 0, 0, 1, 1, 1])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = compute_all_metrics(gen, ref, metrics=["cd"],
+                                  ref_labels=labels,
+                                  label_names={0: "a", 1: "b"})
+    assert out["jsd_frame"] == "fit"
+    assert out["jsd"] == out["jsd_fit"]
+    assert np.isfinite(out["jsd_raw"]) and out["jsd_raw"] != out["jsd_fit"]
+    assert "per_category" in out and "cov_c" in out["per_category_convention"]
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out_raw = compute_all_metrics(gen, ref, metrics=["cd"],
+                                      jsd_frame="raw")
+    assert out_raw["jsd"] == out_raw["jsd_raw"]
+    # frames agree between invocations (deterministic hedge)
+    assert out_raw["jsd_fit"] == out["jsd_fit"]
