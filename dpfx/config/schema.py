@@ -219,6 +219,8 @@ class TrainConfig:
     seed: int = 0
     ckpt_dir: str = "checkpoints"
     ckpt_every: int = 1000
+    ckpt_keep: int = 3    # orbax max_to_keep; 0 = keep every checkpoint
+    #                       (long-horizon quality runs eval non-final steps)
     eval_every: int = 1000
     log_every: int = 100
     loss: str = "elbo"           # elbo (AE/gen); recon-only variants for ablation

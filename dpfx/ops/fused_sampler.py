@@ -255,6 +255,41 @@ def _ensure_nonempty(a: Array, shape) -> Array:
     return a
 
 
+class QuantizedFlowParams(NamedTuple):
+    """StackedFlowParams with the three matmul weight stacks symmetric-
+    quantized to int8 + per-(layer, tensor) f32 scales — the round-2
+    'int8 weights' idea for the latency-bound serial chain (BASELINE.md
+    round-2 campaign), measurable via tools/bench_sample_int8.py. Scales
+    live in one [K, 8, 1] block: row 0 = wx, row 1 = wh (shared across the
+    layer's hidden matmuls), row 2 = wout."""
+
+    sp: StackedFlowParams          # wx/wh/wout fields hold the int8 stacks
+    scales: Array                  # [K, 8, 1] f32
+
+
+def quantize_flow_params(sp: StackedFlowParams) -> QuantizedFlowParams:
+    """Symmetric per-(layer, tensor) int8 quantization of wx/wh/wout.
+    Biases, masks and the z-projection path stay f32 (hz is computed in
+    XLA from the ORIGINAL wz)."""
+    def q(w, axes):
+        amax = jnp.max(jnp.abs(w), axis=axes, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+        return wq, scale
+
+    k = sp.wx.shape[0]
+    wxq, s_wx = q(sp.wx, (1, 2))                      # [K,1,1]
+    whq, s_wh = (q(sp.wh, (1, 2, 3)) if sp.wh.size
+                 else (sp.wh.astype(jnp.int8), jnp.ones((k, 1, 1, 1))))
+    woq, s_wo = q(sp.wout, (1, 2))
+    scales = jnp.zeros((k, 8, 1), jnp.float32)
+    scales = scales.at[:, 0].set(s_wx.reshape(k, 1))
+    scales = scales.at[:, 1].set(s_wh.reshape(k, 1))
+    scales = scales.at[:, 2].set(s_wo.reshape(k, 1))
+    return QuantizedFlowParams(
+        sp=sp._replace(wx=wxq, wh=whq, wout=woq), scales=scales)
+
+
 def _box_muller_rows(shape) -> Array:
     """Standard-normal tile from the in-kernel TPU PRNG (Box-Muller).
     Caller must have seeded via pltpu.prng_seed."""
@@ -272,9 +307,11 @@ def _box_muller_rows(shape) -> Array:
 
 
 def _fused_sample_kernel(
-    seed_ref, hz_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref, x_ref,
+    seed_ref, hz_ref, wx_ref, wh_ref, bh_ref, wout_ref, bout_ref, masks_ref,
+    scales_ref, x_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
     activation: str = "relu", unroll: bool = True, clouds_per_step: int = 1,
+    quantized: bool = False,
 ):
     """Like _fused_inverse_kernel but generates the base noise u in-kernel
     (XLA's RNG for the noise tensor costs ~30% of end-to-end sampling on
@@ -294,7 +331,14 @@ def _fused_sample_kernel(
     def layer(li, x, g):
         k = n_layers - 1 - li
         mask = masks_ref[k]
-        wxk = wx_ref[k].astype(dtype)
+        # int8-weight mode (round-2 'remaining idea', measured via
+        # tools/bench_sample_int8.py): weights dequantize in-VMEM — cast +
+        # per-(layer, tensor) scale on the WEIGHT matrix (cheaper than
+        # scaling the [H, T] matmul output; s*(Wq@x) == (s*Wq)@x)
+        if quantized:
+            wxk = (wx_ref[k].astype(jnp.float32) * scales_ref[k, 0]).astype(dtype)
+        else:
+            wxk = wx_ref[k].astype(dtype)
         h = jax.lax.dot_general(
             wxk, x.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -302,15 +346,25 @@ def _fused_sample_kernel(
         h = act(h).astype(dtype)
 
         def hidden(j, h):
+            if quantized:
+                whj = (wh_ref[k, j].astype(jnp.float32)
+                       * scales_ref[k, 1]).astype(dtype)
+            else:
+                whj = wh_ref[k, j].astype(dtype)
             hh = jax.lax.dot_general(
-                wh_ref[k, j].astype(dtype), h, (((1,), (0,)), ((), ())),
+                whj, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bh_ref[k, j]
             return act(hh).astype(dtype)
 
         h = jax.lax.fori_loop(0, n_hidden_m1, hidden, h, unroll=True)
+        if quantized:
+            wok = (wout_ref[k].astype(jnp.float32)
+                   * scales_ref[k, 2]).astype(dtype)
+        else:
+            wok = wout_ref[k].astype(dtype)
         st = jax.lax.dot_general(
-            wout_ref[k].astype(dtype), h, (((1,), (0,)), ((), ())),
+            wok, h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + bout_ref[k]
         s = cap * jnp.tanh(st / cap)
@@ -342,6 +396,7 @@ def fused_sample_points(
     activation: str = "relu",
     unroll: bool = True,
     clouds_per_step: int | None = None,
+    quantized: QuantizedFlowParams | None = None,
 ) -> Array:
     """z [B, dz], scalar int32 seed -> x [B, n_points, 3]: base noise drawn
     by the in-kernel TPU PRNG, then all K inverted couplings applied with
@@ -351,7 +406,12 @@ def fused_sample_points(
     divisor of B) groups G clouds into one grid step — the per-cloud noise
     stream is G-invariant (seeded by global cloud index), so results are
     bit-identical across G; only the schedule changes. G=1 is the measured
-    winner (see the A/B note in the body)."""
+    winner (see the A/B note in the body).
+
+    ``quantized`` (a QuantizedFlowParams built from the SAME sp) switches
+    the kernel to int8 weight stacks dequantized in-VMEM — the measurement
+    surface for the round-2 'int8 weights' idea (tools/bench_sample_int8.py);
+    ~0.3% coordinate RMS quantization error, see the A/B record."""
     b = z.shape[0]
     tile = max(128, tile)  # Mosaic lane constraint: trailing block dim >= 128
     if _interpret():
@@ -385,10 +445,19 @@ def fused_sample_points(
     hz = jnp.einsum("bd,kdh->bkh", z.astype(sp.wz.dtype), sp.wz) + sp.bx
     hz = hz.astype(jnp.float32)[..., None]
 
+    if quantized is not None:
+        wx_in, wh_in, wout_in = (quantized.sp.wx, quantized.sp.wh,
+                                 quantized.sp.wout)
+        scales = quantized.scales
+    else:
+        wx_in, wh_in, wout_in = sp.wx, sp.wh, sp.wout
+        scales = jnp.ones((k, 8, 1), jnp.float32)  # resident, unread
+
     kernel = functools.partial(
         _fused_sample_kernel,
         n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap, dtype=dtype,
         activation=activation, unroll=unroll, clouds_per_step=g,
+        quantized=quantized is not None,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -402,6 +471,7 @@ def fused_sample_points(
             pl.BlockSpec((k, max(n_hidden_m1, 1), h, 1), lambda b_, i, *_: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, h), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -418,9 +488,9 @@ def fused_sample_points(
            if SAMPLE_VMEM_MB and not _interpret() else {}),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
-        hz, sp.wx,
-        _ensure_nonempty(sp.wh, (k, 1, h, h)),
+        hz, wx_in,
+        _ensure_nonempty(wh_in, (k, 1, h, h)),
         _ensure_nonempty(sp.bh, (k, 1, h, 1)),
-        sp.wout, sp.bout, sp.masks,
+        wout_in, sp.bout, sp.masks, scales,
     )
     return jnp.swapaxes(out[:, :3, :n_points], 1, 2)

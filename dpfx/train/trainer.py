@@ -882,7 +882,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, cfg, self.mesh)
         # lazy single-device eval step for ragged batch tails (see evaluate)
         self._eval_step_tail: Optional[Callable] = None
-        self.ckpt = CheckpointManager(os.path.join(cfg.train.ckpt_dir, cfg.name))
+        self.ckpt = CheckpointManager(
+            os.path.join(cfg.train.ckpt_dir, cfg.name),
+            max_to_keep=cfg.train.ckpt_keep or None,
+        )
         self.history: list = []
         self.last_eval_step: int = -1  # step of the most recent in-fit eval
         from dpfx.utils.writers import ScalarWriter

@@ -151,3 +151,89 @@ def test_gen_metrics_emit_both_jsd_frames():
     assert out_raw["jsd"] == out_raw["jsd_raw"]
     # frames agree between invocations (deterministic hedge)
     assert out_raw["jsd_fit"] == out["jsd_fit"]
+
+
+def test_ckpt_keep_retention(tmp_path):
+    """train.ckpt_keep controls orbax retention; 0 keeps every checkpoint
+    (long-horizon quality runs eval non-final steps post-hoc)."""
+    import jax
+
+    from dpfx.config import config_from_dict
+    from dpfx.data import SyntheticDataset, preload_clouds
+    from dpfx.train import Trainer
+
+    def run(keep, d):
+        cfg = config_from_dict({
+            "experiment": "gen", "name": "keep",
+            "model": {"dz": 8,
+                      "point_flow": {"n_layers": 2, "hidden": 16, "n_hidden": 1},
+                      "latent_flow": {"n_layers": 2, "hidden": 16, "n_hidden": 1},
+                      "encoder": {"point_widths": [16, 32], "head_widths": [16]}},
+            "data": {"dataset": "synthetic", "n_points": 32,
+                     "synthetic_size": 16, "device_resident": True},
+            "train": {"batch_size": 8, "steps": 6, "steps_per_call": 2,
+                      "lr": 1e-3, "log_every": 100, "ckpt_every": 2,
+                      "eval_every": 1000, "ckpt_dir": str(d),
+                      "ckpt_keep": keep},
+        })
+        tr = Trainer(cfg, log_fn=lambda *a, **k: None)
+        tr.fit_resident(preload_clouds(SyntheticDataset(size=16, n_stored=32,
+                                                        split="train")))
+        return sorted(int(s) for s in tr.ckpt.manager.all_steps())
+
+    assert run(0, tmp_path / "all") == [2, 4, 6]   # keep everything
+    assert run(1, tmp_path / "one") == [6]         # latest only
+
+
+def test_quantize_flow_params_error_bounded():
+    """int8 weight quantization (the serving-chain A/B surface,
+    tools/bench_sample_int8.py): dequantized stacks must sit within the
+    symmetric-quant bound (half a quant step) of the originals, and the
+    inverse flow through dequantized weights must track the f32 flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpfx.config import config_from_dict
+    from dpfx.models import DPF
+    from dpfx.ops.fused_sampler import (
+        fused_point_flow_inverse, quantize_flow_params,
+        stack_point_flow_params,
+    )
+
+    cfg = config_from_dict({
+        "experiment": "gen", "name": "q",
+        "model": {"dz": 16,
+                  "point_flow": {"n_layers": 4, "hidden": 32, "n_hidden": 2,
+                                 "scale_cap": 3.0},
+                  "latent_flow": {"n_layers": 2, "hidden": 16, "n_hidden": 1},
+                  "encoder": {"point_widths": [16, 32], "head_widths": [16]}},
+    })
+    model = DPF(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((2, 16, 3), jnp.float32), rng)
+    sp = stack_point_flow_params(params, 3.0)
+    qp = quantize_flow_params(sp)
+
+    for wq, w, srow in ((qp.sp.wx, sp.wx, 0), (qp.sp.wh, sp.wh, 1),
+                        (qp.sp.wout, sp.wout, 2)):
+        if w.size == 0:
+            continue
+        s = qp.scales[:, srow, 0]
+        deq = wq.astype(jnp.float32) * s.reshape((-1,) + (1,) * (w.ndim - 1))
+        err = jnp.max(jnp.abs(deq - w))
+        assert float(err) <= float(jnp.max(s)) * 0.5 + 1e-7
+
+    # end-to-end: inverse flow with host-dequantized weights stays close
+    deq_sp = sp._replace(
+        wx=qp.sp.wx.astype(jnp.float32) * qp.scales[:, 0, 0][:, None, None],
+        wh=(qp.sp.wh.astype(jnp.float32)
+            * qp.scales[:, 1, 0][:, None, None, None]),
+        wout=qp.sp.wout.astype(jnp.float32) * qp.scales[:, 2, 0][:, None, None],
+    )
+    u = jax.random.normal(jax.random.fold_in(rng, 1), (2, 64, 3))
+    z = jax.random.normal(jax.random.fold_in(rng, 2), (2, 16))
+    x = fused_point_flow_inverse(sp, u, z, tile=128, dtype=jnp.float32)
+    xq = fused_point_flow_inverse(deq_sp, u, z, tile=128, dtype=jnp.float32)
+    rel = float(jnp.sqrt(jnp.mean((x - xq) ** 2))
+                / jnp.sqrt(jnp.mean(x ** 2)))
+    assert rel < 0.05, rel
