@@ -264,7 +264,7 @@ class QuantizedFlowParams(NamedTuple):
     layer's hidden matmuls), row 2 = wout."""
 
     sp: StackedFlowParams          # wx/wh/wout fields hold the int8 stacks
-    scales: Array                  # [K, 8, 1] f32
+    scales: Array                  # [K, 8] f32 (SMEM block in-kernel)
 
 
 def quantize_flow_params(sp: StackedFlowParams) -> QuantizedFlowParams:
@@ -282,10 +282,10 @@ def quantize_flow_params(sp: StackedFlowParams) -> QuantizedFlowParams:
     whq, s_wh = (q(sp.wh, (1, 2, 3)) if sp.wh.size
                  else (sp.wh.astype(jnp.int8), jnp.ones((k, 1, 1, 1))))
     woq, s_wo = q(sp.wout, (1, 2))
-    scales = jnp.zeros((k, 8, 1), jnp.float32)
-    scales = scales.at[:, 0].set(s_wx.reshape(k, 1))
-    scales = scales.at[:, 1].set(s_wh.reshape(k, 1))
-    scales = scales.at[:, 2].set(s_wo.reshape(k, 1))
+    scales = jnp.zeros((k, 8), jnp.float32)
+    scales = scales.at[:, 0].set(s_wx.reshape(k))
+    scales = scales.at[:, 1].set(s_wh.reshape(k))
+    scales = scales.at[:, 2].set(s_wo.reshape(k))
     return QuantizedFlowParams(
         sp=sp._replace(wx=wxq, wh=whq, wout=woq), scales=scales)
 
@@ -336,7 +336,11 @@ def _fused_sample_kernel(
         # per-(layer, tensor) scale on the WEIGHT matrix (cheaper than
         # scaling the [H, T] matmul output; s*(Wq@x) == (s*Wq)@x)
         if quantized:
-            wxk = (wx_ref[k].astype(jnp.float32) * scales_ref[k, 0]).astype(dtype)
+            # scales live in SMEM: scales_ref[k, j] is a true scalar read
+            # (a [1]-shaped VMEM read would need a both-axes broadcast,
+            # which Mosaic does not implement)
+            wxk = (wx_ref[k].astype(jnp.float32)
+                   * scales_ref[k, 0]).astype(dtype)
         else:
             wxk = wx_ref[k].astype(dtype)
         h = jax.lax.dot_general(
@@ -451,7 +455,7 @@ def fused_sample_points(
         scales = quantized.scales
     else:
         wx_in, wh_in, wout_in = sp.wx, sp.wh, sp.wout
-        scales = jnp.ones((k, 8, 1), jnp.float32)  # resident, unread
+        scales = jnp.ones((k, 8), jnp.float32)  # resident, unread
 
     kernel = functools.partial(
         _fused_sample_kernel,
@@ -473,7 +477,7 @@ def fused_sample_points(
             pl.BlockSpec((k, 8, h), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 8, 1), lambda b_, i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, 8), lambda b_, i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((g, 8, tile), lambda b_, i, *_: (b_, 0, i),
                                memory_space=pltpu.VMEM),

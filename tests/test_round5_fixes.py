@@ -218,17 +218,17 @@ def test_quantize_flow_params_error_bounded():
                         (qp.sp.wout, sp.wout, 2)):
         if w.size == 0:
             continue
-        s = qp.scales[:, srow, 0]
+        s = qp.scales[:, srow]
         deq = wq.astype(jnp.float32) * s.reshape((-1,) + (1,) * (w.ndim - 1))
         err = jnp.max(jnp.abs(deq - w))
         assert float(err) <= float(jnp.max(s)) * 0.5 + 1e-7
 
     # end-to-end: inverse flow with host-dequantized weights stays close
     deq_sp = sp._replace(
-        wx=qp.sp.wx.astype(jnp.float32) * qp.scales[:, 0, 0][:, None, None],
+        wx=qp.sp.wx.astype(jnp.float32) * qp.scales[:, 0][:, None, None],
         wh=(qp.sp.wh.astype(jnp.float32)
-            * qp.scales[:, 1, 0][:, None, None, None]),
-        wout=qp.sp.wout.astype(jnp.float32) * qp.scales[:, 2, 0][:, None, None],
+            * qp.scales[:, 1][:, None, None, None]),
+        wout=qp.sp.wout.astype(jnp.float32) * qp.scales[:, 2][:, None, None],
     )
     u = jax.random.normal(jax.random.fold_in(rng, 1), (2, 64, 3))
     z = jax.random.normal(jax.random.fold_in(rng, 2), (2, 16))

@@ -48,6 +48,19 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((2, 16, 3), jnp.float32), rng)
     sp = stack_point_flow_params(params, cfg.model.point_flow.scale_cap)
+    # the flax init zero-inits each coupling's `out` layer, which makes the
+    # flow output independent of wx/wh — fine for timing, vacuous for the
+    # parity check. Randomize every weight stack (trained-scale magnitudes)
+    # so quantization error actually propagates.
+    keys = iter(jax.random.split(jax.random.fold_in(rng, 99), 8))
+    sp = sp._replace(
+        wx=0.3 * jax.random.normal(next(keys), sp.wx.shape),
+        wz=0.3 * jax.random.normal(next(keys), sp.wz.shape),
+        wh=(0.2 * jax.random.normal(next(keys), sp.wh.shape)
+            if sp.wh.size else sp.wh),
+        wout=0.1 * jax.random.normal(next(keys), sp.wout.shape),
+        bout=0.05 * jax.random.normal(next(keys), sp.bout.shape),
+    )
     qp = quantize_flow_params(sp)
     z = jax.random.normal(jax.random.fold_in(rng, 7), (B, cfg.model.dz))
 
