@@ -46,21 +46,27 @@ def main():
     })
     model = DPF(cfg)
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((2, 16, 3), jnp.float32), rng)
+    src = "init"
+    ckpt = os.environ.get("DPFX_INT8_CKPT",
+                          "configs/flagship_quality_v3_aug_100k.yaml")
+    try:
+        # parity is only meaningful on TRAINED weights: a fresh init
+        # zero-inits each coupling's `out` layer (output independent of
+        # wx/wh quantization — vacuous), and random weights make an
+        # unstable flow whose chaotic amplification swamps the
+        # quantization signal (measured rel_rms 1.0 at |x|~1e11)
+        from dpfx.config import load_config
+        from dpfx.train import restore_for_eval
+
+        tcfg = load_config(ckpt)
+        if tcfg.model.point_flow == cfg.model.point_flow:
+            _, params, step = restore_for_eval(tcfg)
+            src = f"{tcfg.name}@{step}"
+        else:
+            params = model.init(rng, jnp.zeros((2, 16, 3), jnp.float32), rng)
+    except Exception:
+        params = model.init(rng, jnp.zeros((2, 16, 3), jnp.float32), rng)
     sp = stack_point_flow_params(params, cfg.model.point_flow.scale_cap)
-    # the flax init zero-inits each coupling's `out` layer, which makes the
-    # flow output independent of wx/wh — fine for timing, vacuous for the
-    # parity check. Randomize every weight stack (trained-scale magnitudes)
-    # so quantization error actually propagates.
-    keys = iter(jax.random.split(jax.random.fold_in(rng, 99), 8))
-    sp = sp._replace(
-        wx=0.3 * jax.random.normal(next(keys), sp.wx.shape),
-        wz=0.3 * jax.random.normal(next(keys), sp.wz.shape),
-        wh=(0.2 * jax.random.normal(next(keys), sp.wh.shape)
-            if sp.wh.size else sp.wh),
-        wout=0.1 * jax.random.normal(next(keys), sp.wout.shape),
-        bout=0.05 * jax.random.normal(next(keys), sp.bout.shape),
-    )
     qp = quantize_flow_params(sp)
     z = jax.random.normal(jax.random.fold_in(rng, 7), (B, cfg.model.dz))
 
@@ -92,6 +98,7 @@ def main():
         "quant_rms_error": rms, "coord_rms": scale,
         "rel_rms": round(rms / scale, 5),
         "protocol": "chain-v2", "shapes": [B, N, REPS],
+        "weights": src,
         "device": jax.devices()[0].device_kind,
     }))
 
