@@ -239,6 +239,14 @@ class TrainConfig:
     # median neg-ELBO/pt -1.33 @10k -> -0.15 @30k). Train-only; eval and
     # sampling always see clean points. 0 disables (default).
     augment_noise: float = 0.0
+    # optional linear anneal of the jitter: sigma walks augment_noise ->
+    # augment_noise_final over the first augment_noise_anneal_steps steps,
+    # then holds at the final value (smooth-early / sharpen-late schedule;
+    # 0 anneal steps = constant sigma). sigma is a function of the
+    # replicated step counter only, so every mesh-size bit-identity
+    # guarantee of the constant-sigma path carries over unchanged.
+    augment_noise_final: float = 0.0
+    augment_noise_anneal_steps: int = 0
     # run the optimizer chain on one flattened parameter vector
     # (optax.flatten): the flagship param tree has 320 leaves and the
     # per-leaf clip/adam tiny-op soup costs real scheduling gaps on TPU —

@@ -113,6 +113,26 @@ def init_state(model: DPF, cfg: Config, rng: Array, tx=None) -> TrainState:
 _AUG_TAG = 0x0A96
 
 
+def _aug_active(tcfg) -> bool:
+    """Whether the train-time jitter path is live (noise drawn at all)."""
+    return tcfg.augment_noise > 0.0 or (
+        tcfg.augment_noise_anneal_steps > 0 and tcfg.augment_noise_final > 0.0)
+
+
+def _aug_sigma(tcfg, step: Array):
+    """Jitter std at ``step`` (traced). Linear anneal augment_noise ->
+    augment_noise_final over augment_noise_anneal_steps, then hold;
+    constant when anneal_steps == 0. A deterministic function of the
+    replicated step counter, so it cannot break mesh-size bit-identity."""
+    if tcfg.augment_noise_anneal_steps <= 0:
+        return tcfg.augment_noise
+    frac = jnp.clip(
+        step.astype(jnp.float32) / float(tcfg.augment_noise_anneal_steps),
+        0.0, 1.0)
+    return tcfg.augment_noise + (
+        tcfg.augment_noise_final - tcfg.augment_noise) * frac
+
+
 def make_train_step(
     model: DPF,
     tx: optax.GradientTransformation,
@@ -137,7 +157,7 @@ def make_train_step(
         def step_fn(state: TrainState, batch: Dict[str, Array], rng: Array):
             rng = jax.random.fold_in(rng, state.step)
             x = batch["x"]
-            if tcfg.augment_noise > 0.0:
+            if _aug_active(tcfg):
                 # train-time jitter (train.augment_noise). Under plain jit /
                 # pjit the in-step draw has global semantics; shard_map
                 # entries pre-draw "xnoise" at GLOBAL shape with this exact
@@ -147,7 +167,7 @@ def make_train_step(
                 if xn is None:
                     xn = jax.random.normal(
                         jax.random.fold_in(rng, _AUG_TAG), x.shape)
-                x = x + tcfg.augment_noise * xn
+                x = x + _aug_sigma(tcfg, state.step) * xn
 
             def loss_fn(p):
                 return elbo_loss(
@@ -223,7 +243,7 @@ def make_train_step(
             rng_step = jax.random.fold_in(rng, state.step)
             eps = jax.random.normal(rng_step, (batch["x"].shape[0], dz))
             batch = {**batch, "eps": eps}
-            if tcfg.augment_noise > 0.0:
+            if _aug_active(tcfg):
                 batch["xnoise"] = jax.random.normal(
                     jax.random.fold_in(rng_step, _AUG_TAG),
                     batch["x"].shape)
@@ -294,7 +314,7 @@ def make_multi_step(
                 lambda s: jax.random.normal(jax.random.fold_in(rng, s), (b, dz))
             )(steps)
             batches = {**batches, "eps": eps}
-            if cfg.train.augment_noise > 0.0:
+            if _aug_active(cfg.train):
                 xs = batches["x"].shape[1:]  # (B, N, 3)
                 batches["xnoise"] = jax.vmap(
                     lambda s: jax.random.normal(
@@ -433,7 +453,7 @@ def make_resident_multi_step(
     use_shard_map = fused_sharded or data_sharded
     # under shard_map the augment jitter must be pre-drawn at global shape
     # (see _AUG_TAG / step_fn); elsewhere the in-step draw is correct
-    need_xn = tcfg.augment_noise > 0.0 and use_shard_map
+    need_xn = _aug_active(tcfg) and use_shard_map
     step_fn = make_train_step(
         model, tx, cfg, mesh=mesh, jit=False,
         pmean_axis=axis if use_shard_map else None,

@@ -237,3 +237,75 @@ def test_quantize_flow_params_error_bounded():
     rel = float(jnp.sqrt(jnp.mean((x - xq) ** 2))
                 / jnp.sqrt(jnp.mean(x ** 2)))
     assert rel < 0.05, rel
+
+
+def test_augment_noise_anneal_schedule():
+    """train.augment_noise_anneal_steps: sigma(step) interpolates
+    augment_noise -> augment_noise_final linearly, then holds. Pins
+    (a) step 0 of an annealed run bit-equals the constant-sigma step,
+    (b) once annealed to final=0 the update bit-equals the augment-OFF
+    step (the jitter stream multiplies by exactly 0 and the eps stream is
+    untouched), (c) single-device == 8-device DP on the fused shard_map
+    path (sigma is a function of the replicated step counter only)."""
+    import jax
+    import jax.numpy as jnp
+    from dpfx.models import DPF
+    from dpfx.parallel import create_mesh
+    from dpfx.train import init_state, make_optimizer, make_train_step
+    from dpfx.train.trainer import _aug_sigma
+    from _helpers import require_mesh8
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import tiny_config
+
+    # schedule math (traced form evaluated eagerly)
+    tc = tiny_config(train={"augment_noise": 0.2, "augment_noise_final": 0.05,
+                            "augment_noise_anneal_steps": 10}).train
+    s = [float(_aug_sigma(tc, jnp.asarray(i, jnp.int32))) for i in (0, 5, 10, 20)]
+    np.testing.assert_allclose(s, [0.2, 0.125, 0.05, 0.05], rtol=1e-6)
+
+    cfg0 = tiny_config()
+    model = DPF(cfg0)
+    tx = make_optimizer(cfg0.train)
+    rng = jax.random.PRNGKey(3)
+    state0 = init_state(model, cfg0, rng, tx)
+    x = jax.random.normal(jax.random.PRNGKey(4), (16, 64, 3))
+
+    def step_with(cfg, state, mesh=None):
+        st = jax.tree.map(jnp.copy, state)
+        st, m = make_train_step(model, tx, cfg, mesh)(st, {"x": x}, rng)
+        return st, float(m["loss"])
+
+    # (a) at step 0 anneal start == constant sigma
+    cfg_const = tiny_config(train={"augment_noise": 0.1})
+    cfg_ann = tiny_config(train={"augment_noise": 0.1,
+                                 "augment_noise_final": 0.0,
+                                 "augment_noise_anneal_steps": 4})
+    _, l_const = step_with(cfg_const, state0)
+    _, l_ann0 = step_with(cfg_ann, state0)
+    np.testing.assert_allclose(l_ann0, l_const, rtol=1e-6)
+
+    # (b) past the anneal horizon with final=0: bit-equals augment-off
+    late = state0.replace(step=jnp.asarray(7, jnp.int32))
+    s_off, l_off = step_with(cfg0, late)
+    s_ann, l_ann = step_with(cfg_ann, late)
+    np.testing.assert_allclose(l_ann, l_off, rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(s_off.params), jax.tree.leaves(s_ann.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # (c) DP identity mid-anneal on the fused shard_map path
+    mesh = create_mesh()
+    require_mesh8(mesh)
+    cfg_f = tiny_config(train={"augment_noise": 0.1,
+                               "augment_noise_final": 0.02,
+                               "augment_noise_anneal_steps": 8,
+                               "fused_point_flow": True,
+                               "fused_encoder": True})
+    mid = state0.replace(step=jnp.asarray(3, jnp.int32))
+    s1, l1 = step_with(cfg_f, mid)
+    s8, l8 = step_with(cfg_f, mid, mesh)
+    np.testing.assert_allclose(l8, l1, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-6)
