@@ -307,6 +307,12 @@ class EvalConfig:
     # (CD exact, EMD fast); "fast" = bf16 everywhere (CD matrix 3.3x faster
     # on-chip, metric-level drift bounded in tests); "exact" = parity-grade
     pairwise_precision: str = ""
+    # sampling temperatures for the gen suite (round-5 v3 quality lever):
+    # point base noise u = temperature * N(0, I3); latent base noise
+    # eps = latent_temperature * N(0, I_dz). 1.0 == the unmodified sampler
+    # (the reference protocol — keep 1.0 for any parity-grade table).
+    temperature: float = 1.0
+    latent_temperature: float = 1.0
 
     extra: Dict[str, Any] = field(default_factory=dict)
 

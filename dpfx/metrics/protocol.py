@@ -114,6 +114,8 @@ def evaluate_generation(
     sample_batch_fn = make_sampler(
         model, params, sample_batch, n, mesh=mesh,
         axis_name=cfg.parallel.axis_name,
+        temperature=cfg.eval.temperature,
+        latent_temperature=cfg.eval.latent_temperature,
     )
 
     outs = []

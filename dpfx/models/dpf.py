@@ -172,12 +172,21 @@ class DPF(nn.Module):
 
     # ---- sampling (SURVEY.md §3.2) --------------------------------------
 
-    def sample(self, rng: Array, n_clouds: int, n_points: int) -> Array:
+    def sample(self, rng: Array, n_clouds: int, n_points: int,
+               temperature: float = 1.0,
+               latent_temperature: float = 1.0) -> Array:
+        """Prior sample. ``temperature`` / ``latent_temperature`` scale the
+        point / latent base noise (tau=1 is the unmodified model — see
+        dpfx.sampling.make_sampler for the lever's rationale)."""
         rng_z, rng_u = jax.random.split(rng)
         dz = self.config.model.dz
         eps = jax.random.normal(rng_z, (n_clouds, dz))
+        if latent_temperature != 1.0:
+            eps = eps * latent_temperature
         z, _ = self.latent_flow.inverse(eps)
         u = jax.random.normal(rng_u, (n_clouds, n_points, 3))
+        if temperature != 1.0:
+            u = u * temperature
         x, _ = self.point_flow.inverse(u, z)
         return x
 

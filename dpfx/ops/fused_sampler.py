@@ -311,7 +311,7 @@ def _fused_sample_kernel(
     scales_ref, x_ref,
     *, n_layers: int, n_hidden_m1: int, t: int, cap: float, dtype,
     activation: str = "relu", unroll: bool = True, clouds_per_step: int = 1,
-    quantized: bool = False,
+    quantized: bool = False, noise_scale: float = 1.0,
 ):
     """Like _fused_inverse_kernel but generates the base noise u in-kernel
     (XLA's RNG for the noise tensor costs ~30% of end-to-end sampling on
@@ -380,7 +380,12 @@ def _fused_sample_kernel(
         # the round-2 formula b_ * nt + i)
         pltpu.prng_seed(
             seed_ref[0] + (b_ * clouds_per_step + g) * pl.num_programs(1) + i)
-        x = jnp.where(row_ids < 3, _box_muller_rows((8, t)), 0.0)
+        u = _box_muller_rows((8, t))
+        if noise_scale != 1.0:
+            # sampling temperature (u = tau * N(0,I)): same stream, scaled
+            # base noise — tau != 1 is a distinct compiled kernel (static)
+            u = u * noise_scale
+        x = jnp.where(row_ids < 3, u, 0.0)
         if unroll:
             for li in range(n_layers):
                 x = layer(li, x, g)
@@ -401,6 +406,7 @@ def fused_sample_points(
     unroll: bool = True,
     clouds_per_step: int | None = None,
     quantized: QuantizedFlowParams | None = None,
+    noise_scale: float = 1.0,
 ) -> Array:
     """z [B, dz], scalar int32 seed -> x [B, n_points, 3]: base noise drawn
     by the in-kernel TPU PRNG, then all K inverted couplings applied with
@@ -415,7 +421,11 @@ def fused_sample_points(
     ``quantized`` (a QuantizedFlowParams built from the SAME sp) switches
     the kernel to int8 weight stacks dequantized in-VMEM — the measurement
     surface for the round-2 'int8 weights' idea (tools/bench_sample_int8.py);
-    ~0.3% coordinate RMS quantization error, see the A/B record."""
+    ~0.3% coordinate RMS quantization error, see the A/B record.
+
+    ``noise_scale`` is the point-noise sampling temperature tau: base noise
+    u = tau * N(0, I3). Static (baked into the kernel); tau=1 compiles the
+    identical program as before the knob existed."""
     b = z.shape[0]
     tile = max(128, tile)  # Mosaic lane constraint: trailing block dim >= 128
     if _interpret():
@@ -424,6 +434,8 @@ def fused_sample_points(
         key = jax.random.fold_in(jax.random.PRNGKey(0), jnp.asarray(seed, jnp.int32))
         n_pad = _round_up(n_points, tile)
         un = jax.random.normal(key, (b, 3, n_pad))
+        if noise_scale != 1.0:
+            un = un * noise_scale
         ut = jnp.zeros((b, 8, n_pad), jnp.float32).at[:, :3, :].set(un)
         out = fused_inverse_transposed(sp, ut, z, tile=tile, dtype=dtype,
                                        activation=activation)
@@ -461,7 +473,7 @@ def fused_sample_points(
         _fused_sample_kernel,
         n_layers=k, n_hidden_m1=n_hidden_m1, t=tile, cap=sp.scale_cap, dtype=dtype,
         activation=activation, unroll=unroll, clouds_per_step=g,
-        quantized=quantized is not None,
+        quantized=quantized is not None, noise_scale=float(noise_scale),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -70,7 +70,7 @@ def _make_latent_inverse(model: DPF, params):
 
 
 def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
-                             activation="relu"):
+                             activation="relu", temperature=1.0):
     """Base noise is drawn by the in-kernel TPU PRNG (Box-Muller over
     pltpu.prng_random_bits): generating the [B, N, 3]-shaped noise in XLA
     with a traced key measured ~540 ms/batch on this chip vs ~12 ms total
@@ -79,7 +79,8 @@ def _fused_noise_and_inverse(sp, z, rng, n_clouds, n_points, tile, dtype,
     del n_clouds
     seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
     return fused_sample_points(sp, z, seed, n_points, tile=tile, dtype=dtype,
-                               activation=activation)
+                               activation=activation,
+                               noise_scale=float(temperature))
 
 
 def make_sampler(
@@ -90,6 +91,8 @@ def make_sampler(
     fused: bool = True,
     mesh: Optional[Mesh] = None,
     axis_name: str = "data",
+    temperature: float = 1.0,
+    latent_temperature: float = 1.0,
 ) -> Callable:
     """Returns rng -> [n_clouds, n_points, 3], jitted with static shapes.
 
@@ -97,11 +100,18 @@ def make_sampler(
     shard_map: each device runs the full pipeline (latent inverse + fused
     point-flow inverse) on n_clouds/n_devices clouds with a per-device rng
     fold — eval-time generation uses every chip instead of one
-    (SURVEY.md §2.2; VERDICT r2 Missing #6)."""
+    (SURVEY.md §2.2; VERDICT r2 Missing #6).
+
+    ``temperature`` scales the point base noise (u = tau_p * N(0, I3));
+    ``latent_temperature`` scales the latent base noise (eps = tau_z *
+    N(0, I_dz)). Both default to 1.0 == the unmodified sampler. The
+    round-5 v3 quality-lever sweep measures whether reduced-temperature
+    sampling closes the residual 1-NNA gap (BASELINE.md)."""
     pf_cfg = model.config.model.point_flow
     if mesh is not None and mesh.devices.size > 1:
         return _make_sharded_sampler(
-            model, params, n_clouds, n_points, fused, mesh, axis_name
+            model, params, n_clouds, n_points, fused, mesh, axis_name,
+            temperature=temperature, latent_temperature=latent_temperature,
         )
     if fused and not pf_cfg.use_actnorm:
         sp = stack_point_flow_params(params, pf_cfg.scale_cap)
@@ -114,14 +124,18 @@ def make_sampler(
         def sample(rng):
             kz, ku = jax.random.split(rng)
             eps = jax.random.normal(kz, (n_clouds, dz))
+            if latent_temperature != 1.0:
+                eps = eps * latent_temperature
             z = latent_inverse(eps)
             return _fused_noise_and_inverse(sp, z, ku, n_clouds, n_points, tile,
-                                            dtype, pf_cfg.activation)
+                                            dtype, pf_cfg.activation,
+                                            temperature=temperature)
 
         return jax.jit(sample)
 
     def sample_xla(rng):
-        return model.apply(params, rng, n_clouds, n_points, method=model.sample)
+        return model.apply(params, rng, n_clouds, n_points, temperature,
+                           latent_temperature, method=model.sample)
 
     return jax.jit(sample_xla)
 
@@ -129,6 +143,7 @@ def make_sampler(
 def _make_sharded_sampler(
     model: DPF, params, n_clouds: int, n_points: int, fused: bool,
     mesh: Mesh, axis_name: str,
+    temperature: float = 1.0, latent_temperature: float = 1.0,
 ) -> Callable:
     """Cloud-axis-sharded sampler (one shard_map over the mesh)."""
     nd = mesh.devices.size
@@ -155,9 +170,12 @@ def _make_sharded_sampler(
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
             kz, ku = jax.random.split(rng)
             eps = jax.random.normal(kz, (shard, dz))
+            if latent_temperature != 1.0:
+                eps = eps * latent_temperature
             z = latent_inverse(eps)
             return _fused_noise_and_inverse(
-                sp, z, ku, shard, n_points, tile, dtype, pf_cfg.activation
+                sp, z, ku, shard, n_points, tile, dtype, pf_cfg.activation,
+                temperature=temperature,
             )
 
         fn = _shard_map(
@@ -169,7 +187,8 @@ def _make_sharded_sampler(
 
     def per_device_xla(rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-        return model.apply(params, rng, shard, n_points, method=model.sample)
+        return model.apply(params, rng, shard, n_points, temperature,
+                           latent_temperature, method=model.sample)
 
     fn = _shard_map(
         per_device_xla, mesh=mesh, in_specs=(P(),), out_specs=P(axis_name),

@@ -24,6 +24,10 @@ def main(argv=None) -> int:
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--png", default=None, help="also save a render montage PNG")
+    ap.add_argument("--temperature", type=float, default=None,
+                    help="point base-noise scale (default: eval.temperature)")
+    ap.add_argument("--latent-temperature", type=float, default=None,
+                    help="latent base-noise scale (default: eval.latent_temperature)")
     args = ap.parse_args(argv)
 
     import jax
@@ -44,7 +48,11 @@ def main(argv=None) -> int:
     model, params, step = restore_for_eval(cfg, args.step)
     n_points = args.n_points or cfg.data.n_points_eval
 
-    sampler = make_sampler(model, params, args.n_clouds, n_points)
+    temp = cfg.eval.temperature if args.temperature is None else args.temperature
+    ltemp = (cfg.eval.latent_temperature if args.latent_temperature is None
+             else args.latent_temperature)
+    sampler = make_sampler(model, params, args.n_clouds, n_points,
+                           temperature=temp, latent_temperature=ltemp)
     rng = jax.random.PRNGKey(args.seed)
     clouds = sampler(rng)  # compile
     jax.block_until_ready(clouds)
